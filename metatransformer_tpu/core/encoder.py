@@ -1,0 +1,279 @@
+"""The shared (usually frozen) Meta-Transformer ViT encoder, TPU-native.
+
+This is the single implementation that replaces the eight copies of
+``nn.Sequential(*[timm.Block(...)])`` in the reference (see e.g.
+``/root/reference/README.md:124-135``,
+``PointCloud/openpoints/models/backbone/metatransformer.py:84-98``,
+``Time-Series/models/MetaTransformer.py:26-41``).
+
+Design notes (TPU-first, not a translation):
+
+* Parameters are a plain pytree of arrays **stacked along a leading depth
+  axis** so the whole encoder runs as a single ``jax.lax.scan`` over layers.
+  Compile time is O(1) in depth and XLA sees one fused block body; this is
+  the idiomatic way to express a homogeneous transformer stack on TPU.
+* Numerics match timm's ``Block(dim, num_heads, mlp_ratio=4., qkv_bias=True,
+  norm_layer=nn.LayerNorm, act_layer=nn.GELU)``: pre-LN, LayerNorm eps=1e-5
+  (torch default), fused qkv projection, scale = head_dim**-0.5, exact
+  (erf) GELU, no LayerScale / no qk-norm (Identity in the checkpoints).
+* ``pos_each_block``: the point-cloud backbone adds the positional embedding
+  at the *input of every block* (``metatransformer.py:161-163``); supported
+  here as an optional scan-carried addend.
+* Masked attention: ragged multi-modality batches are handled with bucketed
+  padding + a boolean keep-mask (reference pads too, e.g. the TokenGT
+  collator ``Data2Seq/Graph.py:99-144``).
+* Precision: params live in fp32; compute can run in bf16 (MXU-native) with
+  fp32 softmax/LayerNorm. Controlled by :class:`Precision`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Compute precision policy. Params are always stored fp32.
+
+    ``mm`` is the XLA dot precision: on TPU, fp32 matmuls default to
+    bf16-input passes, so true-fp32 parity requires Precision.HIGHEST;
+    the bf16 policy keeps DEFAULT (native MXU bf16, fp32 accumulate).
+    """
+
+    compute_dtype: Any = jnp.float32  # matmul / activation dtype
+    mm: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # softmax + layernorm always accumulate in fp32.
+
+    @property
+    def is_bf16(self) -> bool:
+        return self.compute_dtype == jnp.bfloat16
+
+
+FP32 = Precision(jnp.float32, jax.lax.Precision.HIGHEST)
+BF16 = Precision(jnp.bfloat16, jax.lax.Precision.DEFAULT)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-5  # torch nn.LayerNorm default, as in README demo
+    attn_impl: str = "auto"  # "xla" | "flash" | "auto"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.dim * self.mlp_ratio)
+
+
+# The two released checkpoints (README.md:100-103).
+BASE = EncoderConfig(dim=768, depth=12, num_heads=12)
+LARGE = EncoderConfig(dim=1024, depth=24, num_heads=16)
+
+# Graph/TokenGT runs the same 768-wide blocks with num_heads=32
+# (Graph/metatransformer/modules/tokengt_graph_encoder.py:191-206).
+GRAPH_BASE = EncoderConfig(dim=768, depth=12, num_heads=32)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm over the last axis, fp32 accumulation."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: float,
+    mm: jax.lax.Precision,
+) -> jax.Array:
+    """Plain XLA attention; q,k,v: [B, T, H, d]. Softmax in fp32."""
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q * scale, k,
+        preferred_element_type=jnp.float32, precision=mm,
+    )
+    if mask is not None:
+        # mask: [B, S] bool, True = keep.
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v, precision=mm)
+
+
+def attention(
+    x: jax.Array,
+    p: Params,
+    cfg: EncoderConfig,
+    mask: Optional[jax.Array],
+    precision: Precision,
+) -> jax.Array:
+    """timm-Attention-equivalent multi-head self-attention.
+
+    Matches ``timm.models.vision_transformer.Attention`` semantics
+    (fused qkv Linear with bias, per-head scale, output proj).
+    """
+    b, t, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    cd = precision.compute_dtype
+    xc = x.astype(cd)
+    qkv = (
+        jnp.dot(xc, p["qkv_w"].astype(cd), precision=precision.mm)
+        + p["qkv_b"].astype(cd)
+    )  # [B,T,3D]
+    qkv = qkv.reshape(b, t, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = float(hd) ** -0.5
+
+    impl = cfg.attn_impl
+    if impl == "auto":
+        impl = "flash" if _flash_supported(t, hd) else "xla"
+    if impl == "flash":
+        from metatransformer_tpu.ops import flash_attention as _fa
+
+        out = _fa.flash_attention(q, k, v, mask=mask, scale=scale)
+    else:
+        out = _xla_attention(q, k, v, mask, scale, precision.mm)
+    out = out.reshape(b, t, d)
+    out = (
+        jnp.dot(out, p["proj_w"].astype(cd), precision=precision.mm)
+        + p["proj_b"].astype(cd)
+    )
+    return out.astype(x.dtype)
+
+
+def _flash_supported(seq_len: int, head_dim: int) -> bool:
+    try:
+        from metatransformer_tpu.ops import flash_attention as _fa
+
+        return _fa.supported(seq_len, head_dim)
+    except Exception:  # pragma: no cover - flash module optional at this stage
+        return False
+
+
+def mlp(x: jax.Array, p: Params, precision: Precision) -> jax.Array:
+    """timm Mlp: Linear -> exact GELU -> Linear."""
+    cd = precision.compute_dtype
+    h = (
+        jnp.dot(x.astype(cd), p["fc1_w"].astype(cd), precision=precision.mm)
+        + p["fc1_b"].astype(cd)
+    )
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cd)
+    h = (
+        jnp.dot(h, p["fc2_w"].astype(cd), precision=precision.mm)
+        + p["fc2_b"].astype(cd)
+    )
+    return h.astype(x.dtype)
+
+
+def block(
+    x: jax.Array,
+    p: Params,
+    cfg: EncoderConfig,
+    mask: Optional[jax.Array] = None,
+    precision: Precision = FP32,
+) -> jax.Array:
+    """One pre-LN transformer block (timm ``Block`` semantics)."""
+    h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.ln_eps)
+    x = x + attention(h, p, cfg, mask, precision)
+    h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.ln_eps)
+    x = x + mlp(h, p, precision)
+    return x
+
+
+# Leaf names and per-layer shapes of the stacked encoder pytree.
+def param_shapes(cfg: EncoderConfig) -> Dict[str, tuple]:
+    d, m = cfg.dim, cfg.mlp_dim
+    return {
+        "norm1_scale": (d,),
+        "norm1_bias": (d,),
+        "qkv_w": (d, 3 * d),
+        "qkv_b": (3 * d,),
+        "proj_w": (d, d),
+        "proj_b": (d,),
+        "norm2_scale": (d,),
+        "norm2_bias": (d,),
+        "fc1_w": (d, m),
+        "fc1_b": (m,),
+        "fc2_w": (m, d),
+        "fc2_b": (d,),
+    }
+
+
+def init(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random init (trunc-normal .02 weights, zeros bias, ones LN scale).
+
+    Only used for from-scratch training / tests; real use loads the released
+    checkpoint via :mod:`metatransformer_tpu.core.convert`.
+    """
+    shapes = param_shapes(cfg)
+    keys = jax.random.split(key, len(shapes))
+    params = {}
+    for (name, shape), k in zip(shapes.items(), keys):
+        full = (cfg.depth,) + shape
+        if name.endswith("_w"):
+            params[name] = (
+                jax.random.truncated_normal(k, -2.0, 2.0, full, jnp.float32) * 0.02
+            ).astype(dtype)
+        elif "scale" in name:
+            params[name] = jnp.ones(full, dtype)
+        else:
+            params[name] = jnp.zeros(full, dtype)
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision", "pos_each_block"))
+def encode(
+    params: Params,
+    x: jax.Array,
+    cfg: EncoderConfig,
+    mask: Optional[jax.Array] = None,
+    pos: Optional[jax.Array] = None,
+    pos_each_block: bool = False,
+    precision: Precision = FP32,
+) -> jax.Array:
+    """Run the full encoder as one ``lax.scan`` over stacked layer params.
+
+    Args:
+      params: stacked pytree from :func:`init` / the checkpoint converter.
+      x: [B, T, D] token sequence (any dtype; computed per ``precision``).
+      mask: optional [B, T] bool keep-mask for padded/ragged batches.
+      pos: optional [B, T, D] (or [1, T, D]) positional embedding.
+      pos_each_block: if True, adds ``pos`` at the *input of every* block
+        (point-cloud backbone semantics, ``metatransformer.py:161-163``);
+        if False and ``pos`` is given, adds it once before the stack.
+    """
+    if pos is not None and not pos_each_block:
+        x = x + pos.astype(x.dtype)
+
+    def body(carry, layer_params):
+        h = carry
+        if pos_each_block and pos is not None:
+            h = h + pos.astype(h.dtype)
+        h = block(h, layer_params, cfg, mask, precision)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, params)
+    return x
+
+
+def num_params(params: Params) -> int:
+    return int(sum(np.prod(v.shape) for v in jax.tree_util.tree_leaves(params)))

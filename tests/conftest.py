@@ -1,0 +1,31 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native answer to "multi-node testing without a cluster"
+(the reference has none — SURVEY.md §4): XLA's host platform exposes N
+virtual devices, so mesh/pjit/collective paths are exercised for real.
+
+Note: the ``axon`` TPU plugin on this machine overrides the JAX_PLATFORMS
+env var, so we must force the platform via jax.config *after* import.
+Set MTX_TEST_PLATFORM=tpu to run the suite on real hardware instead.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+if os.environ.get("MTX_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
