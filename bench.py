@@ -1,0 +1,77 @@
+"""Headline benchmark: ViT-B16 image pipeline throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement: N forward passes chained *inside one jit* via lax.fori_loop
+(each iteration's input is perturbed by the previous iteration's output so
+nothing can be hoisted/CSE'd), then one scalar readback. This isolates
+device compute from the axon tunnel's slow host<->device transfers, which
+otherwise dominate naive timings on this machine.
+
+Baseline: the reference implementation (PyTorch ViT-B16 image pipeline:
+Conv2d patch embed + 12 timm Blocks + head) on this machine's CPU
+(1 core) = 3.41 seq/s (2026-08-16, torch 2.13 cpu, batch 8).
+BASELINE.json's target is >=5x that (17.05 seq/s); ``vs_baseline`` is
+reported against the 5x target, so >=1.0 means target met.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metatransformer_tpu.core import encoder as enc
+from metatransformer_tpu.models import image_classifier
+
+CPU_REFERENCE_SEQ_S = 3.41  # torch CPU, see module docstring
+TARGET_SEQ_S = 5.0 * CPU_REFERENCE_SEQ_S
+
+
+def chained_forward(cfg, iters):
+    """One jit running ``iters`` sequential forwards with a data dependency."""
+
+    def run(params, images):
+        def body(_, carry):
+            x = images * (1.0 + 1e-9 * carry)  # depend on previous iter
+            logits = image_classifier.forward(params, x, cfg, precision=enc.BF16)
+            return jnp.mean(logits)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return jax.jit(run, static_argnames=())
+
+
+def main() -> None:
+    cfg = image_classifier.ImageClassifierConfig()  # B16, 1000 classes
+    params = image_classifier.init(cfg, jax.random.PRNGKey(0))
+
+    batch, iters = 128, 20
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, 224, 224, 3), np.float32)
+    )
+
+    run = chained_forward(cfg, iters)
+    float(run(params, images))  # warmup/compile (scalar fetch = full sync)
+
+    t0 = time.perf_counter()
+    result = float(run(params, images))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(result)
+    seq_s = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "image_vitb16_raw_to_logits_throughput",
+                "value": round(seq_s, 2),
+                "unit": "seq/s/chip",
+                "vs_baseline": round(seq_s / TARGET_SEQ_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
