@@ -1,1 +1,9 @@
-from metatransformer_tpu.models import classifier, image_classifier  # noqa: F401
+from metatransformer_tpu.models import (  # noqa: F401
+    audio_classifier,
+    classifier,
+    hyper_classifier,
+    image_classifier,
+    tabular_classifier,
+    time_series,
+    video_classifier,
+)

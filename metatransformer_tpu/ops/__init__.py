@@ -1,0 +1,1 @@
+from metatransformer_tpu.ops import fbank  # noqa: F401

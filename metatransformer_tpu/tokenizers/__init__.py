@@ -5,4 +5,11 @@ reference). Every tokenizer is an (init, apply) pair over a plain pytree:
 ``apply(params, raw) -> tokens [B, T, D]`` and fuses into the encoder jit.
 """
 
-from metatransformer_tpu.tokenizers import image  # noqa: F401
+from metatransformer_tpu.tokenizers import (  # noqa: F401
+    audio,
+    hyper,
+    image,
+    tabular,
+    time_series,
+    video,
+)
