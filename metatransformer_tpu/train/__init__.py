@@ -1,1 +1,9 @@
-from metatransformer_tpu.train import step  # noqa: F401
+from metatransformer_tpu.train import (  # noqa: F401
+    augment,
+    ema,
+    losses,
+    optim,
+    schedules,
+    step,
+    trainer,
+)

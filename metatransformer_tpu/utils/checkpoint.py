@@ -1,0 +1,128 @@
+"""Checkpoint save / resume / best tracking.
+
+Unifies the reference's five checkpoint idioms (SURVEY.md §5.4):
+openpoints save/resume with best+last, pcdet max-keep rotation, Video
+EMA branches, mmcv URL shims, plain torch.save — into one npz-based
+store (flattened pytrees; orbax optional for sharded setups), with
+auto-resume from the latest checkpoint in a directory
+(``AutonomousDriving/tools/train.py:134-138`` behavior).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node)
+            if keys and all(re.fullmatch(r"\d+", k) for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
+
+
+def save(path: str, state: Dict[str, Any]) -> None:
+    """state: arbitrary pytree dict (params / opt_state / epoch / ema)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **_flatten(state))
+
+
+def load(path: str) -> Dict[str, Any]:
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    return _unflatten(flat)
+
+
+def save_rotating(
+    ckpt_dir: str,
+    state: Dict[str, Any],
+    epoch: int,
+    is_best: bool = False,
+    max_keep: int = 5,
+) -> str:
+    """Epoch checkpoint with max-keep rotation + best/latest copies
+    (pcdet train_utils.py:134-164 + openpoints ckpt_util semantics)."""
+    path = os.path.join(ckpt_dir, f"ckpt_epoch_{epoch:04d}.npz")
+    state = dict(state, epoch=np.int64(epoch))
+    save(path, state)
+    save(os.path.join(ckpt_dir, "ckpt_latest.npz"), state)
+    if is_best:
+        save(os.path.join(ckpt_dir, "ckpt_best.npz"), state)
+    kept = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_epoch_*.npz")))
+    for old in kept[:-max_keep]:
+        os.remove(old)
+    return path
+
+
+def auto_resume(ckpt_dir: str) -> Optional[Tuple[Dict[str, Any], int]]:
+    """Load the newest epoch checkpoint if any: (state, epoch) or None."""
+    latest = os.path.join(ckpt_dir, "ckpt_latest.npz")
+    if os.path.exists(latest):
+        state = load(latest)
+        return state, int(state.get("epoch", 0))
+    ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_epoch_*.npz")))
+    if not ckpts:
+        return None
+    state = load(ckpts[-1])
+    return state, int(state.get("epoch", 0))
+
+
+class EarlyStopping:
+    """Time-Series ``utils/tools.py:27`` semantics: stop after `patience`
+    validations without improvement; tracks best state."""
+
+    def __init__(self, patience: int = 7, delta: float = 0.0, mode: str = "min"):
+        self.patience = patience
+        self.delta = delta
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.counter = 0
+        self.should_stop = False
+
+    def __call__(self, value: float) -> bool:
+        """Returns True if this value is a new best."""
+        improved = (
+            self.best is None
+            or (self.mode == "min" and value < self.best - self.delta)
+            or (self.mode == "max" and value > self.best + self.delta)
+        )
+        if improved:
+            self.best = value
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        return improved

@@ -1,0 +1,239 @@
+"""Training infrastructure: losses, schedules, layer decay, augment,
+metrics, checkpoint/resume, EarlyStopping, and an end-to-end tiny fit."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from metatransformer_tpu.core import encoder
+from metatransformer_tpu.models import image_classifier
+from metatransformer_tpu.tokenizers import image as image_tok
+from metatransformer_tpu.train import augment, ema, losses, optim, schedules
+from metatransformer_tpu.train.trainer import Trainer, TrainerConfig
+from metatransformer_tpu.utils import checkpoint as ckpt
+from metatransformer_tpu.utils import metrics
+
+
+def test_losses_sanity():
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0]])
+    labels = jnp.asarray([0, 1])
+    assert float(losses.cross_entropy(logits, labels)) < 1e-3
+    assert float(losses.cross_entropy(logits, labels, 0.2)) > 0.0
+    soft = jax.nn.one_hot(labels, 2)
+    assert float(losses.soft_cross_entropy(logits, soft)) < 1e-3
+    assert float(losses.bce_with_logits(logits, soft)) < 1e-3
+    assert float(losses.focal(logits, labels)) < 1e-3
+    assert 0 <= float(losses.dice(logits, labels)) < 0.01
+    assert float(losses.l1(jnp.ones(3), jnp.ones(3))) == 0.0
+    m = losses.masked_mse(jnp.asarray([1.0, 5.0]), jnp.asarray([1.0, 1.0]),
+                          jnp.asarray([1.0, 0.0]))
+    assert float(m) == 0.0
+
+
+def test_schedules():
+    s = schedules.cosine_with_warmup(1.0, 100, warmup_steps=10)
+    assert float(s(0)) < 0.2
+    assert abs(float(s(10)) - 1.0) < 0.01
+    assert float(s(100)) < 0.01
+
+    ms = schedules.multistep(1.0, [10, 20], gamma=0.5)
+    assert float(ms(5)) == 1.0 and float(ms(15)) == 0.5 and float(ms(25)) == 0.25
+
+    p = schedules.poly(1.0, 100, power=1.0)
+    assert abs(p(50) - 0.5) < 1e-6
+
+    oc = schedules.one_cycle(1.0, 100, pct_start=0.4)
+    assert oc(0) < oc(40) and abs(oc(40) - 1.0) < 1e-6 and oc(99) < 0.01
+
+    t1 = schedules.type1_halving(1.0, 10)
+    assert t1(0) == 1.0 and t1(10) == 0.5 and t1(20) == 0.25
+
+    assert schedules.linear_scaled_lr(1e-3, 512) == 2e-3
+
+
+def test_layer_decay_scaling():
+    depth = 4
+    tx = optim.scale_by_layer_decay(0.5, depth)
+    updates = {
+        "encoder": {"qkv_w": jnp.ones((depth, 2, 2))},
+        "tokenizer": {"w": jnp.ones((2, 2))},
+        "head": {"w0": jnp.ones((2, 2))},
+    }
+    state = tx.init(updates)
+    scaled, _ = tx.update(updates, state)
+    _, layer_f, _ = optim.layer_decay_factors(depth, 0.5)
+    # encoder layer i scaled by 0.5**(depth+1-i)
+    for i in range(depth):
+        np.testing.assert_allclose(
+            np.asarray(scaled["encoder"]["qkv_w"])[i],
+            float(layer_f[i]),
+            rtol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(scaled["tokenizer"]["w"]), 0.5 ** (depth + 2), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(scaled["head"]["w0"]), 1.0, rtol=1e-6)
+
+
+def test_optimizer_factory():
+    for name in ("adamw", "adam", "sgd", "lamb", "lars", "adabelief", "radam"):
+        tx = optim.build(name, 1e-3, layer_decay=0.9, grad_clip=1.0)
+        params = {"head": {"w0": jnp.ones((2, 2))}, "encoder": {"qkv_w": jnp.ones((12, 2, 2))}}
+        state = tx.init(params)
+        updates, _ = tx.update(params, state, params)
+        assert jnp.isfinite(updates["head"]["w0"]).all(), name
+
+
+def test_augmentations():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((4, 8, 8, 3))
+    y = jax.nn.one_hot(jnp.asarray([0, 1, 2, 3]), 4)
+    mx, my = augment.mixup_batch(rng, x, y)
+    assert mx.shape == x.shape and my.shape == y.shape
+    np.testing.assert_allclose(np.asarray(my.sum(-1)), 1.0, rtol=1e-5)
+
+    spec = jnp.ones((2, 100, 128))
+    masked = augment.spec_augment(rng, spec, 48, 48)
+    assert float(masked.mean()) < 1.0  # something was masked
+    assert masked.shape == spec.shape
+
+    pts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 3), np.float32))
+    rot = augment.rotate_points_z(rng, pts)
+    # z-rotation preserves norms and z-coordinates
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rot), axis=-1),
+        np.linalg.norm(np.asarray(pts), axis=-1),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(rot)[..., 2], np.asarray(pts)[..., 2],
+                               rtol=1e-5)
+    st = augment.scale_and_translate_points(rng, pts)
+    assert st.shape == pts.shape
+    jt = augment.jitter_points(rng, pts)
+    assert float(jnp.abs(jt - pts).max()) <= 0.05 + 1e-6
+
+    er = augment.random_erase(rng, x)
+    assert er.shape == x.shape
+
+
+def test_confusion_matrix_and_kappa():
+    cm = metrics.ConfusionMatrix(3)
+    cm.update(np.array([0, 1, 2, 2]), np.array([0, 1, 1, 2]))
+    assert abs(cm.overall_accuracy - 0.75) < 1e-6
+    assert 0 < cm.kappa < 1
+    assert 0 < cm.miou <= 1
+
+    am = metrics.AverageMeter()
+    am.update(1.0, 2)
+    am.update(2.0, 2)
+    assert am.avg == 1.5
+
+
+def test_audio_stats_and_regression_metrics():
+    scores = np.array([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]])
+    targets = np.array([[1, 0], [0, 1], [1, 0]])
+    stats = metrics.audio_stats(scores, targets)
+    assert stats["acc"] == 1.0 and stats["mAP"] == 1.0 and stats["AUC"] == 1.0
+
+    reg = metrics.regression_metrics(np.array([1.0, 2.0]), np.array([1.0, 1.0]))
+    assert abs(reg["mae"] - 0.5) < 1e-6
+
+
+def test_checkpoint_roundtrip_and_rotation(tmp_path):
+    d = str(tmp_path)
+    state = {"trainable": {"w": jnp.ones((2, 2)), "nested": {"b": jnp.zeros(3)}}}
+    for epoch in range(7):
+        ckpt.save_rotating(d, state, epoch, is_best=(epoch == 3), max_keep=3)
+    kept = sorted(glob.glob(os.path.join(d, "ckpt_epoch_*.npz")))
+    assert len(kept) == 3  # rotation
+    resumed, epoch = ckpt.auto_resume(d)
+    assert epoch == 6
+    np.testing.assert_array_equal(
+        np.asarray(resumed["trainable"]["w"]), np.ones((2, 2))
+    )
+    assert os.path.exists(os.path.join(d, "ckpt_best.npz"))
+
+
+def test_early_stopping():
+    es = ckpt.EarlyStopping(patience=2, mode="min")
+    assert es(1.0) and not es(1.5) and not es(1.4)
+    assert es.should_stop
+
+
+def test_ema():
+    p = {"w": jnp.zeros(2)}
+    e = ema.init(p)
+    e = ema.update(e, {"w": jnp.ones(2)}, decay=0.5)
+    np.testing.assert_allclose(np.asarray(e["w"]), 0.5)
+
+
+def test_trainer_fits_tiny_problem(tmp_path):
+    """End-to-end: 2-class separable images, frozen encoder — acc -> 1."""
+    cfg = image_classifier.ImageClassifierConfig(
+        tokenizer=image_tok.ImageTokenizerConfig(img_size=8, patch_size=4, dim=16),
+        encoder=encoder.EncoderConfig(dim=16, depth=1, num_heads=2),
+        num_classes=2,
+    )
+    params = image_classifier.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 8, 8, 3)).astype(np.float32)
+    y = (x.mean((1, 2, 3)) > 0).astype(np.int32)
+    x[y == 1] += 1.0  # separable signal
+
+    def data():
+        for i in range(0, 64, 16):
+            yield {
+                "input": jnp.asarray(x[i : i + 16]),
+                "label": jnp.asarray(y[i : i + 16]),
+            }
+
+    def forward(p, inputs, rng_):
+        return image_classifier.forward(p, inputs, cfg)
+
+    trainer = Trainer(
+        forward,
+        optim.build("adamw", 5e-3, encoder_depth=1),
+        params,
+        TrainerConfig(epochs=8, ckpt_dir=str(tmp_path), log_every=1000),
+    )
+    log = trainer.fit(data, val_data=data)
+    assert log["val_acc"] > 0.9, log
+    assert os.path.exists(os.path.join(str(tmp_path), "ckpt_latest.npz"))
+
+
+def test_config_system(tmp_path):
+    from metatransformer_tpu.configs import load_config
+
+    base = tmp_path / "base.yaml"
+    base.write_text("a: 1\nnest:\n  x: 1\n  y: 2\n")
+    child = tmp_path / "child.yaml"
+    child.write_text("_base_: base.yaml\nnest:\n  y: 3\nb: 2\n")
+    cfg = load_config(str(child), overrides=["nest.x=9", "c.d=hello"])
+    assert cfg.a == 1 and cfg.b == 2
+    assert cfg.nest.x == 9 and cfg.nest.y == 3
+    assert cfg.c.d == "hello"
+
+    # _delete_ replaces the subtree
+    child2 = tmp_path / "child2.yaml"
+    child2.write_text("_base_: base.yaml\nnest:\n  _delete_: true\n  z: 1\n")
+    cfg2 = load_config(str(child2))
+    assert "y" not in cfg2.nest and cfg2.nest.z == 1
+
+
+def test_shipped_configs_load():
+    import metatransformer_tpu.configs as cfgs
+    from metatransformer_tpu.configs import load_config
+
+    root = os.path.dirname(cfgs.__file__)
+    for name in (
+        "modelnet40_metatransformer.yaml",
+        "speechcommands_metatransformer.yaml",
+        "etth1_metatransformer.yaml",
+    ):
+        cfg = load_config(os.path.join(root, name))
+        assert cfg.encoder.scale == "base"
+        assert cfg.train.epochs > 0
