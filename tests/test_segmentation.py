@@ -1,0 +1,81 @@
+"""ViT-Adapter backbone + UperNet head + segmentor tests (small geometry)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metatransformer_tpu.core import encoder
+from metatransformer_tpu.heads import upernet
+from metatransformer_tpu.models import segmentor, vit_adapter
+
+
+def _small_cfg(img=64):
+    return vit_adapter.ViTAdapterConfig(
+        encoder=encoder.EncoderConfig(dim=32, depth=4, num_heads=4),
+        img_size=img,
+        patch_size=16,
+        conv_inplane=8,
+        deform_num_heads=4,
+        interaction_indexes=((0, 1), (2, 3)),
+    )
+
+
+def test_backbone_pyramid_shapes():
+    cfg = _small_cfg()
+    params = vit_adapter.init(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 64, 3), np.float32))
+    feats = vit_adapter.apply(params, x, cfg)
+    assert [f.shape for f in feats] == [
+        (2, 16, 16, 32), (2, 8, 8, 32), (2, 4, 4, 32), (2, 2, 2, 32),
+    ]
+    for f in feats:
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_backbone_pos_embed_resize():
+    """Backbone trained at img_size=64 runs at 32x32 (pos embed bicubic)."""
+    cfg = _small_cfg()
+    params = vit_adapter.init(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32, 32, 3), np.float32))
+    feats = vit_adapter.apply(params, x, cfg)
+    assert feats[0].shape == (1, 8, 8, 32)
+
+
+def test_upernet_head():
+    cfg = upernet.UperNetConfig(in_dim=32, channels=16, num_classes=7)
+    params = upernet.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    feats = [
+        jnp.asarray(rng.standard_normal((2, 16, 16, 32), np.float32)),
+        jnp.asarray(rng.standard_normal((2, 8, 8, 32), np.float32)),
+        jnp.asarray(rng.standard_normal((2, 4, 4, 32), np.float32)),
+        jnp.asarray(rng.standard_normal((2, 2, 2, 32), np.float32)),
+    ]
+    out = upernet.apply(params, feats, cfg)
+    assert out.shape == (2, 16, 16, 7)
+
+
+def test_segmentor_end_to_end_and_loss():
+    cfg = segmentor.SegmentorConfig(backbone=_small_cfg(), num_classes=5)
+    params = segmentor.init(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 64, 64, 3), np.float32))
+    logits = segmentor.forward(params, x, cfg)
+    assert logits.shape == (1, 64, 64, 5)
+    labels = jnp.asarray(
+        np.random.default_rng(3).integers(0, 5, (1, 64, 64)).astype(np.int32)
+    )
+    labels = labels.at[0, :8].set(255)  # ignore region
+    loss = segmentor.seg_loss(logits, labels)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    # grads reach both the head and the adapter (injector gamma is
+    # zero-init, so check the extractor value proj instead)
+    def loss_fn(p):
+        return segmentor.seg_loss(segmentor.forward(p, x, cfg), labels)
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["head"]["cls_w"]).max()) > 0
+    assert (
+        float(jnp.abs(g["backbone"]["interaction0"]["ext_attn"]["value_w"]).max())
+        > 0
+    )
