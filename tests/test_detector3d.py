@@ -1,0 +1,121 @@
+"""PointPillars detector: box coder roundtrip, target assignment,
+forward shapes, loss decreases, predict+NMS end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from metatransformer_tpu.models import detector3d as det
+from metatransformer_tpu.ops import voxelize
+
+
+def _small_cfg():
+    vcfg = voxelize.VoxelConfig(
+        pc_range=(0, -8, -3, 16, 8, 1), voxel_size=(0.5, 0.5, 4.0)
+    )
+    return det.Detector3DConfig(
+        vfe=voxelize.PillarVFEConfig(voxel=vcfg, in_features=4, channels=16),
+        bev_channels=(16, 32),
+        bev_strides=(2, 2),
+        up_channels=16,
+    )
+
+
+def test_box_coder_roundtrip():
+    rng = np.random.default_rng(0)
+    anchors = jnp.asarray(
+        np.c_[
+            rng.uniform(0, 10, (5, 2)), rng.uniform(-2, 0, (5, 1)),
+            rng.uniform(1, 4, (5, 3)), rng.uniform(-1, 1, (5, 1)),
+        ].astype(np.float32)
+    )
+    boxes = anchors + jnp.asarray(
+        rng.uniform(-0.3, 0.3, (5, 7)).astype(np.float32)
+    )
+    deltas = det.encode_boxes(boxes, anchors)
+    back = det.decode_boxes(deltas, anchors)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_anchor_grid():
+    cfg = _small_cfg()
+    anchors = det.generate_anchors(cfg)
+    fx, fy = 32 // 2, 32 // 2
+    assert anchors.shape == (fx * fy * 2, 7)
+    # centers inside the range
+    assert anchors[:, 0].min() >= 0 and anchors[:, 0].max() <= 16
+
+
+def test_assign_targets():
+    anchors = jnp.asarray(
+        [[1.0, 1, 0, 2, 2, 2, 0], [8.0, 4, 0, 2, 2, 2, 0]], jnp.float32
+    )
+    gt = jnp.asarray([[1.0, 1, 0, 2, 2, 2, 0], [0, 0, 0, 0, 0, 0, 0]], jnp.float32)
+    gv = jnp.asarray([True, False])
+    labels, idx = det.assign_targets(anchors, gt, gv)
+    assert int(labels[0]) == 1 and int(idx[0]) == 0
+    assert int(labels[1]) == 0  # far anchor is background
+
+
+def test_forward_and_loss_decreases():
+    cfg = _small_cfg()
+    params = det.init(cfg, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(det.generate_anchors(cfg))
+    rng = np.random.default_rng(0)
+
+    # one "car" in the scene; points on its footprint
+    gt = np.zeros((1, 4, 7), np.float32)
+    gt[0, 0] = [8.0, 0.0, -1.0, 3.9, 1.6, 1.56, 0.3]
+    gv = np.zeros((1, 4), bool)
+    gv[0, 0] = True
+    pts = rng.uniform(-1, 1, (1, 256, 4)).astype(np.float32)
+    pts[..., 0] = 8.0 + pts[..., 0] * 1.9
+    pts[..., 1] = 0.0 + pts[..., 1] * 0.7
+    pts[..., 2] = -1.0 + pts[..., 2] * 0.7
+
+    preds = det.forward(params, jnp.asarray(pts), cfg)
+    a_total = anchors.shape[0]
+    assert preds["cls_logits"].shape == (1, a_total, 1)
+    assert preds["box_deltas"].shape == (1, a_total, 7)
+
+    tx = optax.adam(3e-3)
+
+    def loss_fn(p):
+        pr = det.forward(p, jnp.asarray(pts), cfg)
+        total, parts = det.detection_loss(
+            pr, anchors, jnp.asarray(gt), jnp.asarray(gv), cfg
+        )
+        return total
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss_fn)(p)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s
+
+    state = tx.init(params)
+    l0 = float(loss_fn(params))
+    best = l0
+    for _ in range(40):
+        params, state = step(params, state)
+        best = min(best, float(loss_fn(params)))
+    # trainability: the loss must be reducible well below init (late-stage
+    # Adam oscillation on this 1-object toy is fine; we track the best).
+    assert np.isfinite(best)
+    assert best < l0 * 0.85, (l0, best)
+
+
+def test_predict_pipeline():
+    cfg = _small_cfg()
+    params = det.init(cfg, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(det.generate_anchors(cfg))
+    pts = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 8, (1, 128, 4)).astype(np.float32)
+    )
+    preds = det.forward(params, pts, cfg)
+    dets = det.predict(preds, anchors, cfg, score_thr=0.0, max_out=16)
+    assert len(dets) == 1
+    assert dets[0]["boxes"].shape == (16, 7)
+    assert np.isfinite(dets[0]["boxes"][dets[0]["valid"]]).all()
