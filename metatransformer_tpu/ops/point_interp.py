@@ -1,0 +1,104 @@
+"""3-NN feature interpolation + chamfer + EMD: the remaining pointnet2 /
+loss CUDA kernels, TPU-native.
+
+Replaces ``openpoints/cpp/pointnet2_batch/src/interpolate_gpu.cu`` (via
+``models/layers/upsampling.py`` three_nn/three_interpolate),
+``openpoints/cpp/chamfer_dist/`` and ``openpoints/cpp/emd/``.
+
+EMD note: the CUDA kernel runs an auction algorithm; here we use
+Sinkhorn-regularized optimal transport (entropic OT) — a small-eps
+Sinkhorn converges to the same assignment cost and is the standard
+TPU-friendly formulation (fixed iteration count, all matmuls).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metatransformer_tpu.ops.point_ops import square_dists
+
+
+def three_nn(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """For each unknown point: 3 nearest known points.
+    unknown [B, N, 3], known [B, M, 3] -> (dist2 [B, N, 3], idx [B, N, 3]).
+    With M < 3 the nearest point is repeated (CUDA kernel behavior)."""
+    d = square_dists(unknown, known)
+    k = min(3, known.shape[1])
+    neg, idx = jax.lax.top_k(-d, k)
+    dist2, idx = -neg, idx.astype(jnp.int32)
+    if k < 3:
+        reps = 3 - k
+        dist2 = jnp.concatenate(
+            [dist2] + [dist2[..., :1]] * reps, axis=-1
+        )
+        idx = jnp.concatenate([idx] + [idx[..., :1]] * reps, axis=-1)
+    return dist2, idx
+
+
+def three_interpolate(
+    features: jax.Array,  # [B, M, C] features at known points
+    idx: jax.Array,  # [B, N, 3]
+    dist2: jax.Array,  # [B, N, 3]
+) -> jax.Array:
+    """Inverse-distance-weighted 3-NN interpolation -> [B, N, C]."""
+    w = 1.0 / jnp.maximum(dist2, 1e-8)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)  # [B, N, 3]
+    gathered = jax.vmap(lambda f, i: f[i])(features, idx)  # [B, N, 3, C]
+    return jnp.sum(gathered * w[..., None], axis=2)
+
+
+def three_interpolation(
+    unknown_xyz: jax.Array, known_xyz: jax.Array, known_feat: jax.Array
+) -> jax.Array:
+    """Convenience wrapper (upsampling.py three_interpolation)."""
+    dist2, idx = three_nn(unknown_xyz, known_xyz)
+    return three_interpolate(known_feat, idx, dist2)
+
+
+@jax.jit
+def chamfer_distance(xyz1: jax.Array, xyz2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Bidirectional squared chamfer: per-batch mean nearest-neighbor
+    distances (chamfer_dist/test.py semantics). -> (d1 [B], d2 [B])."""
+    d = square_dists(xyz1, xyz2)
+    return jnp.mean(jnp.min(d, axis=2), axis=1), jnp.mean(jnp.min(d, axis=1), axis=1)
+
+
+def chamfer_loss(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    d1, d2 = chamfer_distance(xyz1, xyz2)
+    return jnp.mean(d1 + d2)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def emd_loss(
+    xyz1: jax.Array,  # [B, N, 3]
+    xyz2: jax.Array,  # [B, N, 3] (equal sizes, as the CUDA kernel requires)
+    eps: float = 0.02,
+    iters: int = 50,
+) -> jax.Array:
+    """Earth-mover distance via Sinkhorn OT on the distance matrix.
+
+    Returns the mean transport cost per batch element (same quantity the
+    emd CUDA kernel's auction approximates).
+    """
+    n = xyz1.shape[1]
+    cost = jnp.sqrt(jnp.maximum(square_dists(xyz1, xyz2), 1e-12))  # [B, N, N]
+    log_k = -cost / eps
+    log_a = jnp.zeros((cost.shape[0], n)) - jnp.log(n)
+    log_b = jnp.zeros((cost.shape[0], n)) - jnp.log(n)
+
+    def body(_, uv):
+        log_u, log_v = uv
+        log_u = log_a - jax.scipy.special.logsumexp(log_k + log_v[:, None, :], axis=2)
+        log_v = log_b - jax.scipy.special.logsumexp(log_k + log_u[:, :, None], axis=1)
+        return log_u, log_v
+
+    log_u, log_v = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros_like(log_a), jnp.zeros_like(log_b))
+    )
+    log_p = log_k + log_u[:, :, None] + log_v[:, None, :]
+    plan = jnp.exp(log_p)
+    return jnp.mean(jnp.sum(plan * cost, axis=(1, 2)))
