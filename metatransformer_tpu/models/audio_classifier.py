@@ -83,6 +83,10 @@ def forward_spectrogram(
     return cls_head.apply(params["head"], feats, cfg.head, mm=precision.mm)
 
 
+# Uniform model API alias (registry convention: every model has forward).
+forward = forward_spectrogram
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def forward_waveform(
     params: Dict[str, Any],

@@ -1,0 +1,170 @@
+"""Training entry point: ``python -m metatransformer_tpu.train_cli
+--cfg metatransformer_tpu/configs/modelnet40_metatransformer.yaml
+[key=value overrides]``.
+
+One CLI replacing the reference's per-subproject launchers (argparse
+monoliths, dist_train.sh, mp.spawn, fairseq-train — SURVEY.md §5.6).
+Builds model + optimizer + Trainer from the unified YAML config. With no
+``--data`` directory it runs on synthetic data (smoke-train mode), so
+every recipe is executable in this environment.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metatransformer_tpu.configs import load_config
+from metatransformer_tpu.core import convert, encoder as enc
+from metatransformer_tpu.train import optim, schedules
+from metatransformer_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def _encoder_cfg(cfg) -> enc.EncoderConfig:
+    scale = cfg.encoder.scale
+    if scale == "large":
+        return enc.LARGE
+    if scale == "tiny":  # smoke-train scale for tests / CPU dry runs
+        return enc.EncoderConfig(dim=64, depth=2, num_heads=4)
+    return enc.BASE
+
+
+def build_point(cfg, key):
+    from metatransformer_tpu.models import point_classifier
+    from metatransformer_tpu.tokenizers import point as point_tok
+
+    ecfg = _encoder_cfg(cfg)
+    mcfg = point_classifier.PointClassifierConfig(
+        tokenizer=point_tok.PointTokenizerConfig(
+            sample_ratio=cfg.model.tokenizer.sample_ratio,
+            group_size=cfg.model.tokenizer.group_size,
+            subsample=cfg.model.tokenizer.subsample,
+            group=cfg.model.tokenizer.group,
+            feature_type=cfg.model.tokenizer.feature_type,
+            embed_dim=ecfg.dim,
+        ),
+        encoder=ecfg,
+        num_classes=cfg.model.num_classes,
+        global_feat=cfg.model.global_feat,
+    )
+    params = point_classifier.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return point_classifier.forward(p, x, mcfg, precision=enc.BF16)
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        n = cfg.train.get("num_points", 1024)
+        for _ in range(n_batches):
+            pts = rng.standard_normal((batch_size, n, 3)).astype(np.float32)
+            labels = rng.integers(0, cfg.model.num_classes, batch_size)
+            yield {"input": jnp.asarray(pts), "label": jnp.asarray(labels)}
+
+    return params, forward, synth
+
+
+def build_audio(cfg, key):
+    from metatransformer_tpu.models import audio_classifier
+    from metatransformer_tpu.tokenizers import audio as audio_tok
+
+    frames = cfg.train.get("audio_length", 98)
+    ecfg = _encoder_cfg(cfg)
+    mcfg = audio_classifier.AudioClassifierConfig(
+        tokenizer=audio_tok.AudioTokenizerConfig(
+            num_mel_bins=cfg.model.tokenizer.num_mel_bins,
+            num_frames=frames,
+            patch_size=cfg.model.tokenizer.patch_size,
+            fstride=cfg.model.tokenizer.fstride,
+            tstride=cfg.model.tokenizer.tstride,
+            dim=ecfg.dim,
+        ),
+        encoder=ecfg,
+        num_classes=cfg.model.num_classes,
+    )
+    params = audio_classifier.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return audio_classifier.forward_spectrogram(p, x, mcfg, precision=enc.BF16)
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            spec = rng.standard_normal(
+                (batch_size, frames, cfg.model.tokenizer.num_mel_bins)
+            ).astype(np.float32)
+            labels = rng.integers(0, cfg.model.num_classes, batch_size)
+            yield {"input": jnp.asarray(spec), "label": jnp.asarray(labels)}
+
+    return params, forward, synth
+
+
+BUILDERS: Dict[str, Callable] = {"point": build_point, "audio": build_audio}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--ckpt", default=None, help="converted encoder .npz/.pth")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=8)
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("overrides", nargs="*", help="key=value config overrides")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.cfg, args.overrides)
+    modality = cfg.modality
+    if modality not in BUILDERS:
+        raise SystemExit(f"no CLI builder for modality {modality!r} yet")
+
+    params, forward, synth = BUILDERS[modality](cfg, jax.random.PRNGKey(cfg.seed))
+    if args.ckpt:
+        loader = convert.convert_pth if args.ckpt.endswith(".pth") else convert.load_npz
+        params["encoder"], _ = loader(args.ckpt)
+
+    epochs = args.epochs or cfg.train.epochs
+    batch_size = cfg.train.batch_size
+    total_steps = epochs * args.steps_per_epoch
+    sched_name = cfg.train.get("schedule", "cosine")
+    if sched_name == "cosine":
+        lr = schedules.cosine_with_warmup(
+            cfg.train.lr, total_steps,
+            warmup_steps=cfg.train.get("warmup_epochs", 0) * args.steps_per_epoch,
+        )
+    elif sched_name == "multistep":
+        lr = schedules.multistep(
+            cfg.train.lr, [total_steps // 2, 3 * total_steps // 4]
+        )
+    elif sched_name == "type1":
+        lr = schedules.type1_halving(cfg.train.lr, args.steps_per_epoch)
+    else:
+        lr = cfg.train.lr
+
+    tx = optim.build(
+        cfg.train.get("optimizer", "adamw"), lr,
+        weight_decay=cfg.train.get("weight_decay", 0.0),
+        encoder_depth=_encoder_cfg(cfg).depth,
+    )
+    trainer = Trainer(
+        forward, tx, params,
+        TrainerConfig(
+            epochs=epochs,
+            ckpt_dir=args.work_dir,
+            log_every=max(args.steps_per_epoch // 2, 1),
+            early_stop_patience=cfg.train.get("early_stop_patience"),
+        ),
+    )
+    log = trainer.fit(
+        lambda: synth(batch_size, args.steps_per_epoch, cfg.seed),
+        val_data=lambda: synth(batch_size, 2, cfg.seed + 1),
+    )
+    print("final:", {k: round(v, 4) if isinstance(v, float) else v
+                     for k, v in log.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

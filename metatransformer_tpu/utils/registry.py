@@ -1,0 +1,82 @@
+"""Model/component registry + config-driven builder.
+
+Equivalent of openpoints' ``MODELS.register_module()`` /
+``build_model_from_cfg`` (``PointCloud/openpoints/models/build.py``,
+``registry.py``) and pcdet's name-dispatched ``build_network``: components
+register under a name; configs instantiate by NAME + kwargs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+
+class Registry:
+    def __init__(self, name: str):
+        self.name = name
+        self._entries: Dict[str, Callable] = {}
+
+    def register(self, name: Optional[str] = None):
+        def deco(fn):
+            key = name or fn.__name__
+            if key in self._entries:
+                raise KeyError(f"{key!r} already registered in {self.name}")
+            self._entries[key] = fn
+            return fn
+
+        return deco
+
+    def get(self, name: str) -> Callable:
+        if name not in self._entries:
+            raise KeyError(
+                f"{name!r} not in registry {self.name}; "
+                f"known: {sorted(self._entries)}"
+            )
+        return self._entries[name]
+
+    def build(self, cfg: Dict[str, Any], **extra):
+        """cfg: {"NAME": ..., **kwargs} (openpoints convention)."""
+        cfg = dict(cfg)
+        name = cfg.pop("NAME", None) or cfg.pop("name")
+        return self.get(name)(**cfg, **extra)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._entries
+
+
+MODELS = Registry("models")
+TOKENIZERS = Registry("tokenizers")
+HEADS = Registry("heads")
+
+
+def _register_builtins() -> None:
+    """Register the shipped model families by name."""
+    from metatransformer_tpu.models import (
+        audio_classifier,
+        graph_predictor,
+        hyper_classifier,
+        image_classifier,
+        point_classifier,
+        point_segmenter,
+        tabular_classifier,
+        time_series,
+        video_classifier,
+    )
+
+    pairs = {
+        "ImageClassifier": image_classifier,
+        "AudioClassifier": audio_classifier,
+        "VideoClassifier": video_classifier,
+        "PointClassifier": point_classifier,
+        "PointSegmenter": point_segmenter,
+        "HyperClassifier": hyper_classifier,
+        "TabularClassifier": tabular_classifier,
+        "GraphPredictor": graph_predictor,
+        "TimeSeriesModel": time_series,
+    }
+    for name, mod in pairs.items():
+        if name not in MODELS:
+            MODELS._entries[name] = mod
+
+
+_register_builtins()
