@@ -92,9 +92,9 @@ def _mha(x, kv, p, prefix, num_heads, causal, mm):
     return jnp.dot(out, p[f"{prefix}_o_w"], precision=mm) + p[f"{prefix}_o_b"]
 
 
-def _decoder_layer(x, cross, p, cfg: DecoderConfig, mm):
+def _decoder_layer(x, cross, p, cfg: DecoderConfig, mm, causal: bool = True):
     ln = lambda h, n: enc.layer_norm(h, p[f"{n}_scale"], p[f"{n}_bias"], cfg.ln_eps)
-    x = x + _mha(x, x, p, "self", cfg.num_heads, True, mm)
+    x = x + _mha(x, x, p, "self", cfg.num_heads, causal, mm)
     x = ln(x, "norm1")
     x = x + _mha(x, cross, p, "cross", cfg.num_heads, False, mm)
     y = x = ln(x, "norm2")

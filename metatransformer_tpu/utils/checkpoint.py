@@ -99,6 +99,24 @@ def auto_resume(ckpt_dir: str) -> Optional[Tuple[Dict[str, Any], int]]:
     return state, int(state.get("epoch", 0))
 
 
+def save_orbax(path: str, state: Dict[str, Any]) -> None:
+    """Orbax save for sharded/multi-host checkpoints (production path;
+    the npz store above covers single-host)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_orbax(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(path), like)
+        return ckptr.restore(os.path.abspath(path))
+
+
 class EarlyStopping:
     """Time-Series ``utils/tools.py:27`` semantics: stop after `patience`
     validations without improvement; tracks best state."""
