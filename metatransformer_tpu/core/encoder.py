@@ -252,7 +252,9 @@ def init(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     return params
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "precision", "pos_each_block"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "precision", "pos_each_block", "remat")
+)
 def encode(
     params: Params,
     x: jax.Array,
@@ -261,6 +263,7 @@ def encode(
     pos: Optional[jax.Array] = None,
     pos_each_block: bool = False,
     precision: Precision = FP32,
+    remat: bool = False,
 ) -> jax.Array:
     """Run the full encoder as one ``lax.scan`` over stacked layer params.
 
@@ -287,6 +290,11 @@ def encode(
         h = block(h, layer_params, cfg, mask, precision)
         return h, None
 
+    if remat:
+        # Gradient checkpointing (the reference's `with_cp`, base/vit.py:
+        # 332-333): recompute each block in the backward pass — activation
+        # memory drops from O(depth) to O(1) blocks.
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params)
     return x
 

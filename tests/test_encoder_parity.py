@@ -129,3 +129,24 @@ def test_npz_roundtrip(tmp_path):
     assert inferred == cfg
     for k in params:
         np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(loaded[k]))
+
+
+def test_remat_matches_and_grads_equal():
+    """jax.checkpoint path: identical outputs and gradients."""
+    cfg = _small_cfg()
+    _, params = _make_pair(cfg, seed=5)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 9, cfg.dim), np.float32)
+    )
+    out = encoder.encode(params, x, cfg)
+    out_r = encoder.encode(params, x, cfg, remat=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), rtol=1e-6,
+                               atol=1e-6)
+
+    def loss(xx, remat):
+        return jnp.sum(encoder.encode(params, xx, cfg, remat=remat) ** 2)
+
+    g = jax.grad(lambda xx: loss(xx, False))(x)
+    g_r = jax.grad(lambda xx: loss(xx, True))(x)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g), rtol=1e-4,
+                               atol=1e-5)
