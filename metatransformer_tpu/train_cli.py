@@ -146,11 +146,16 @@ def main(argv=None) -> int:
     tx = optim.build(
         cfg.train.get("optimizer", "adamw"), lr,
         weight_decay=cfg.train.get("weight_decay", 0.0),
+        layer_decay=cfg.train.get("layer_decay"),
         encoder_depth=_encoder_cfg(cfg).depth,
     )
+    # encoder.frozen: false -> full finetune (the reference's tuned recipes,
+    # e.g. Audio 97% acc at 86.3M trainable params)
+    frozen_keys = ("encoder",) if cfg.encoder.get("frozen", True) else ()
     trainer = Trainer(
         forward, tx, params,
-        TrainerConfig(
+        frozen_keys=frozen_keys,
+        cfg=TrainerConfig(
             epochs=epochs,
             ckpt_dir=args.work_dir,
             log_every=max(args.steps_per_epoch // 2, 1),
