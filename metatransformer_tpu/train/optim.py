@@ -51,17 +51,18 @@ def make_optimizer(
     return tx
 
 
-def layer_decay_factors(depth: int, decay_rate: float, extra_scale: int = 2):
-    """Per-layer LR factors, timm/mmcv convention: layer i of `depth`
-    gets decay_rate**(num_layers - i) where num_layers = depth + extra
-    (embedding gets the largest exponent, head gets 1.0).
+def layer_decay_factors(depth: int, decay_rate: float):
+    """Per-layer LR factors, timm/mmcv convention (mmcv_custom
+    ``LayerDecayOptimizerConstructor``: scale = rate**(num_layers-layer_id-1)
+    with num_layers = depth + 2; Video ``optim_factory``: rate**(depth+1-i)):
+    encoder block i gets decay_rate**(depth - i), the embedding/tokenizer
+    gets decay_rate**(depth + 1), the head gets 1.0.
 
     Returns (embed_factor, [depth] encoder factors, head_factor=1.0).
     """
-    num = depth + extra_scale
-    embed = decay_rate ** (num - 0)
+    embed = decay_rate ** (depth + 1)
     layers = jnp.asarray(
-        [decay_rate ** (num - 1 - i) for i in range(depth)], jnp.float32
+        [decay_rate ** (depth - i) for i in range(depth)], jnp.float32
     )
     return float(embed), layers, 1.0
 

@@ -9,9 +9,9 @@ halving ("type1", utils/tools.py:11).
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
+import jax.numpy as jnp
 import optax
 
 
@@ -48,11 +48,15 @@ def step_decay(base_lr: float, step_size: int, gamma: float = 0.1):
 
 
 def poly(base_lr: float, total_steps: int, power: float = 1.0, min_lr: float = 0.0):
-    """mmseg poly policy: lr = base * (1 - t/T)^power."""
+    """mmseg poly policy: lr = base * (1 - t/T)^power.
+
+    jit-safe: `count` may be a traced step counter (optax passes the
+    jitted step index), so all branching is jnp arithmetic.
+    """
 
     def sched(count):
-        frac = 1.0 - min(count, total_steps) / total_steps
-        return max(base_lr * (frac**power), min_lr)
+        frac = 1.0 - jnp.minimum(count, total_steps) / total_steps
+        return jnp.maximum(base_lr * (frac**power), min_lr)
 
     return sched
 
@@ -60,18 +64,22 @@ def poly(base_lr: float, total_steps: int, power: float = 1.0, min_lr: float = 0
 def one_cycle(base_lr: float, total_steps: int, pct_start: float = 0.4,
               div_factor: float = 10.0, final_div: float = 1e4):
     """fastai/pcdet OneCycle: warm up to base_lr then cosine to
-    base_lr/final_div (``learning_schedules_fastai.py`` OneCycle)."""
+    base_lr/final_div (``learning_schedules_fastai.py`` OneCycle).
+
+    jit-safe: branchless via jnp.where so it can serve as the optax lr
+    inside a jitted train step.
+    """
     up = int(total_steps * pct_start)
     down = max(total_steps - up, 1)
     start = base_lr / div_factor
     end = base_lr / final_div
 
     def sched(count):
-        if count < up:
-            frac = count / max(up, 1)
-            return start + (base_lr - start) * 0.5 * (1 - math.cos(math.pi * frac))
-        frac = min((count - up) / down, 1.0)
-        return end + (base_lr - end) * 0.5 * (1 + math.cos(math.pi * frac))
+        up_frac = count / max(up, 1)
+        rising = start + (base_lr - start) * 0.5 * (1 - jnp.cos(jnp.pi * up_frac))
+        down_frac = jnp.minimum((count - up) / down, 1.0)
+        falling = end + (base_lr - end) * 0.5 * (1 + jnp.cos(jnp.pi * down_frac))
+        return jnp.where(count < up, rising, falling)
 
     return sched
 

@@ -144,10 +144,22 @@ class Trainer:
             if resumed:
                 state, epoch = resumed
                 self.trainable = state["trainable"]
+                # full resume: optimizer moments, EMA, global step
+                # (pcdet checkpoint_state / openpoints resume_checkpoint parity)
+                if "opt_state" in state:
+                    self.opt_state = jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(self.opt_state),
+                        jax.tree_util.tree_leaves(state["opt_state"]),
+                    )
+                if self.cfg.use_ema and "ema" in state:
+                    self.ema_params = state["ema"]
+                if "global_step" in state:
+                    self.global_step = int(state["global_step"])
                 self.epoch = epoch + 1
                 self.logger.info("resumed from epoch %d", epoch)
 
         best_val = None
+        log: Dict[str, float] = {}
         for epoch in range(self.epoch, self.cfg.epochs):
             self.epoch = epoch
             rng, sub = jax.random.split(rng)
@@ -174,9 +186,16 @@ class Trainer:
                         best_val, is_best = value, True
             self.logger.info("epoch %d: %s", epoch, log)
             if self.cfg.ckpt_dir:
+                state = {
+                    "trainable": self.trainable,
+                    "opt_state": jax.tree_util.tree_leaves(self.opt_state),
+                    "global_step": np.int64(self.global_step),
+                }
+                if self.cfg.use_ema:
+                    state["ema"] = self.ema_params
                 ckpt_lib.save_rotating(
                     self.cfg.ckpt_dir,
-                    {"trainable": self.trainable},
+                    state,
                     epoch,
                     is_best=is_best,
                     max_keep=self.cfg.max_keep,

@@ -140,8 +140,17 @@ def main(argv=None) -> int:
         )
     elif sched_name == "type1":
         lr = schedules.type1_halving(cfg.train.lr, args.steps_per_epoch)
-    else:
+    elif sched_name == "one_cycle":
+        lr = schedules.one_cycle(cfg.train.lr, total_steps)
+    elif sched_name == "poly":
+        lr = schedules.poly(cfg.train.lr, total_steps)
+    elif sched_name == "step":
+        lr = schedules.step_decay(cfg.train.lr, max(total_steps // 3, 1))
+    elif sched_name == "constant":
         lr = cfg.train.lr
+    else:
+        raise SystemExit(f"unknown schedule {sched_name!r}; valid: cosine, "
+                         "multistep, type1, one_cycle, poly, step, constant")
 
     tx = optim.build(
         cfg.train.get("optimizer", "adamw"), lr,

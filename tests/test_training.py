@@ -52,6 +52,32 @@ def test_schedules():
     t1 = schedules.type1_halving(1.0, 10)
     assert t1(0) == 1.0 and t1(10) == 0.5 and t1(20) == 0.25
 
+
+def test_schedules_jit_safe():
+    """Every schedule must work as the optax lr inside a jitted step
+    (traced step count) — ADVICE r1: poly/one_cycle previously raised
+    TracerBoolConversionError."""
+    for sched in (
+        schedules.poly(1e-3, 100),
+        schedules.one_cycle(1e-3, 100),
+        schedules.step_decay(1e-3, 30),
+        schedules.type1_halving(1e-3, 10),
+        schedules.cosine_with_warmup(1e-3, 100, warmup_steps=10),
+    ):
+        tx = optax.adamw(sched)
+        params = {"w": jnp.ones((4, 4))}
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            grads = jax.tree_util.tree_map(jnp.ones_like, params)
+            updates, state = tx.update(grads, state, params)
+            return optax.apply_updates(params, updates), state
+
+        for _ in range(3):
+            params, state = step(params, state)
+        assert jnp.isfinite(params["w"]).all()
+
     assert schedules.linear_scaled_lr(1e-3, 512) == 2e-3
 
 
@@ -66,15 +92,17 @@ def test_layer_decay_scaling():
     state = tx.init(updates)
     scaled, _ = tx.update(updates, state)
     _, layer_f, _ = optim.layer_decay_factors(depth, 0.5)
-    # encoder layer i scaled by 0.5**(depth+1-i)
+    # encoder block i scaled by 0.5**(depth-i), embeddings by 0.5**(depth+1)
+    # (mmcv LayerDecayOptimizerConstructor / Video optim_factory convention)
     for i in range(depth):
         np.testing.assert_allclose(
             np.asarray(scaled["encoder"]["qkv_w"])[i],
             float(layer_f[i]),
             rtol=1e-6,
         )
+        np.testing.assert_allclose(float(layer_f[i]), 0.5 ** (depth - i), rtol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(scaled["tokenizer"]["w"]), 0.5 ** (depth + 2), rtol=1e-6
+        np.asarray(scaled["tokenizer"]["w"]), 0.5 ** (depth + 1), rtol=1e-6
     )
     np.testing.assert_allclose(np.asarray(scaled["head"]["w0"]), 1.0, rtol=1e-6)
 
@@ -203,6 +231,27 @@ def test_trainer_fits_tiny_problem(tmp_path):
     log = trainer.fit(data, val_data=data)
     assert log["val_acc"] > 0.9, log
     assert os.path.exists(os.path.join(str(tmp_path), "ckpt_latest.npz"))
+
+    # Full resume: a fresh trainer restores trainable + optimizer moments +
+    # global_step (ADVICE r1: previously only trainable was saved).
+    trainer2 = Trainer(
+        forward,
+        optim.build("adamw", 5e-3, encoder_depth=1),
+        image_classifier.init(cfg, jax.random.PRNGKey(1)),
+        TrainerConfig(epochs=8, ckpt_dir=str(tmp_path), log_every=1000),
+    )
+    log2 = trainer2.fit(data, val_data=data, resume=True)
+    assert log2 == {}  # resume epoch >= epochs: loop never runs, no NameError
+    assert trainer2.global_step == trainer.global_step
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer2.opt_state)[0]),
+        np.asarray(jax.tree_util.tree_leaves(trainer.opt_state)[0]),
+    )
+    # restored trainable matches what was saved
+    l1 = jax.tree_util.tree_leaves(trainer.trainable)
+    l2 = jax.tree_util.tree_leaves(trainer2.trainable)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
 def test_config_system(tmp_path):
