@@ -176,6 +176,25 @@ def _flash_supported(seq_len: int, head_dim: int) -> bool:
         return False
 
 
+def _resolve_impl(cfg: EncoderConfig, seq_len: int, precision: Precision) -> str:
+    """Pick the attention implementation for this (shape, policy).
+
+    'fused' = the Pallas fused attention sublayer (ops/fused_block.py):
+    short sequences, bf16 serving policy (fp32 parity keeps the XLA path
+    whose matmul precision is exactly Precision.HIGHEST).
+    """
+    impl = cfg.attn_impl
+    if impl != "auto":
+        return impl
+    from metatransformer_tpu.ops import fused_block as _fb
+
+    if precision.is_bf16 and _fb.supported(seq_len, cfg.dim, cfg.num_heads):
+        return "fused"
+    if _flash_supported(seq_len, cfg.head_dim):
+        return "flash"
+    return "xla"
+
+
 def mlp(x: jax.Array, p: Params, precision: Precision) -> jax.Array:
     """timm Mlp: Linear -> exact GELU -> Linear."""
     cd = precision.compute_dtype
@@ -204,6 +223,31 @@ def block(
     precision: Precision = FP32,
 ) -> jax.Array:
     """One pre-LN transformer block (timm ``Block`` semantics)."""
+    if _resolve_impl(cfg, x.shape[1], precision) == "fused":
+        from metatransformer_tpu.ops import fused_block as _fb
+
+        x = _fb.attn_sublayer(
+            x,
+            p["norm1_scale"],
+            p["norm1_bias"],
+            p["qkv_w"],
+            p["qkv_b"],
+            p["proj_w"],
+            p["proj_b"],
+            mask=mask,
+            num_heads=cfg.num_heads,
+            ln_eps=cfg.ln_eps,
+        )
+        return _fb.mlp_sublayer(
+            x,
+            p["norm2_scale"],
+            p["norm2_bias"],
+            p["fc1_w"],
+            p["fc1_b"],
+            p["fc2_w"],
+            p["fc2_b"],
+            ln_eps=cfg.ln_eps,
+        )
     h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.ln_eps)
     x = x + attention(h, p, cfg, mask, precision)
     h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.ln_eps)
@@ -280,6 +324,17 @@ def encode(
     # (instead of per-sublayer fp32<->bf16 roundtrips) halves VPU traffic
     # and activation memory in bf16 serving. LN still accumulates fp32.
     x = x.astype(precision.compute_dtype)
+    if precision.is_bf16:
+        # Pre-cast matmul weights/biases once, outside the depth scan: the
+        # XLA and fused-kernel paths both consume them in bf16, and doing
+        # it here (loop-invariant) avoids a per-layer/per-program cast.
+        # LN params stay fp32 (LN accumulates fp32).
+        _mm = ("qkv_w", "qkv_b", "proj_w", "proj_b",
+               "fc1_w", "fc1_b", "fc2_w", "fc2_b")
+        params = {
+            k: (v.astype(jnp.bfloat16) if k in _mm else v)
+            for k, v in params.items()
+        }
     if pos is not None and not pos_each_block:
         x = x + pos.astype(x.dtype)
 

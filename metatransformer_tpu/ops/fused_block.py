@@ -1,0 +1,371 @@
+"""Fused attention sublayer (Pallas, TPU) for short sequences.
+
+Computes ``x + proj(MHSA(LayerNorm(x)))`` — the first half of a timm
+``Block`` — in a single Pallas kernel, one program per batch element.
+The reference runs this as ~7 separate torch ops per block
+(``/root/reference/README.md:125-135``: LN -> qkv Linear -> reshape ->
+softmax(QK^T)V -> proj Linear -> residual); XLA fuses some of it, but at
+T=197 the softmax/LayerNorm HBM roundtrips still cost ~30% of step time
+(round-1 profile).  This kernel keeps the whole sublayer in VMEM:
+
+* LayerNorm in fp32 on the VPU,
+* one [Tp, 3D] fused-QKV matmul on the MXU (fp32 accumulation),
+* per-head softmax(QK^T)V with fp32 logits (heads unrolled; Tp <= 512 so
+  the [Tp, Tp] logits tile lives entirely in VMEM),
+* output projection + residual add.
+
+Sequence lengths are padded to a 128 multiple; padded keys are masked via
+an additive fp32 bias row, padded query rows are sliced off afterwards.
+
+Backward: custom VJP that recomputes the sublayer with plain XLA ops —
+at these lengths the O(T^2) logits are cheap, and the encoder is frozen
+in every released recipe so the backward only carries dx to the
+trainable tokenizer below.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+# Above this (padded) length the [Tp, Tp] fp32 logits tile gets too big
+# for VMEM and flash attention wins anyway (ops/flash_attention.py).
+MAX_SEQ = 512
+
+
+def supported(seq_len: int, dim: int, num_heads: int) -> bool:
+    """Shapes where the fused sublayer kernel applies and wins."""
+    head_dim = dim // num_heads
+    return (
+        seq_len <= MAX_SEQ
+        and dim % num_heads == 0
+        and head_dim in (32, 64, 128)
+        and dim % 128 == 0
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    x_ref,
+    lns_ref,
+    lnb_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wproj_ref,
+    bproj_ref,
+    bias_ref,
+    o_ref,
+    *,
+    num_heads: int,
+    head_dim: int,
+    ln_eps: float,
+    scale: float,
+):
+    x = x_ref[0]  # [Tp, D]
+    d = x.shape[-1]
+
+    # LayerNorm (fp32 accumulation, like core.encoder.layer_norm).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+
+    # Fused QKV projection: [Tp, D] @ [D, 3D] on the MXU (bf16 in, f32 acc).
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)  # [Tp, 3D]
+
+    bias_row = bias_ref[0]  # [1, Tp] fp32 additive key mask
+
+    outs = []
+    for h in range(num_heads):  # static unroll; num_heads is 12/16
+        lo = h * head_dim
+        # scale folded into q ([Tp, hd]) — cheaper than scaling [Tp, Tp]
+        q = qkv[:, lo : lo + head_dim].astype(jnp.float32) * scale
+        k = qkv[:, d + lo : d + lo + head_dim]
+        v = qkv[:, 2 * d + lo : 2 * d + lo + head_dim]
+        s = (
+            jax.lax.dot_general(
+                q.astype(x.dtype), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias_row
+        )  # [Tp, Tp] fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)  # [Tp, 1]
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # normalize on the [Tp, hd] output instead of the [Tp, Tp] probs
+        outs.append((o / l).astype(x.dtype))
+    o = jnp.concatenate(outs, axis=-1)  # [Tp, D]
+
+    delta = jax.lax.dot_general(
+        o, wproj_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0].astype(jnp.float32)
+    o_ref[0] = x + delta.astype(x.dtype)
+
+
+def _reference_sublayer(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
+    """XLA twin (backward-pass recompute + test oracle)."""
+    b, t, d = x.shape
+    hd = d // num_heads
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = (xn * lns.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x.dtype)
+    qkv = (
+        jnp.dot(xn, wqkv.astype(x.dtype), preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = qkv.reshape(b, t, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, hd]
+    s = (
+        jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+        * (float(hd) ** -0.5)
+        + bias[:, None, None, :]
+    )
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhts,bshd->bthd", p, v).reshape(b, t, d)
+    delta = jnp.dot(
+        o, wproj.astype(x.dtype), preferred_element_type=jnp.float32
+    ) + bproj.astype(jnp.float32)
+    return x + delta.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
+    return _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads)
+
+
+def _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
+    b, t, d = x.shape
+    hd = d // num_heads
+    tp = _round_up(max(t, 128), 128)
+    pad = tp - t
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            num_heads=num_heads,
+            head_dim=hd,
+            ln_eps=float(ln_eps),
+            scale=float(hd) ** -0.5,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        lns.reshape(1, d),
+        lnb.reshape(1, d),
+        wqkv,
+        bqkv.reshape(1, 3 * d),
+        wproj,
+        bproj.reshape(1, d),
+        bias[:, None, :],
+    )
+    return out[:, :t] if pad else out
+
+
+def _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
+    out = _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads)
+    return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _fused_bwd(ln_eps, num_heads, res, g):
+    x, lns, lnb, wqkv, bqkv, wproj, bproj, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_sublayer(*a, bias, ln_eps, num_heads),
+        x, lns, lnb, wqkv, bqkv, wproj, bproj,
+    )
+    return vjp(g) + (None,)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, ln_eps: float):
+    x = x_ref[:]  # [BN, D]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+    h = jax.lax.dot_general(
+        xn, w1_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    # tanh-approx GELU: erf/erfc have no Pallas TPU lowering. Max deviation
+    # from timm's exact erf GELU is ~3e-4 — an order of magnitude below the
+    # bf16 resolution this serving-policy kernel runs at.
+    g = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    out = jax.lax.dot_general(
+        g, w2_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[:] = x + out.astype(x.dtype)
+
+
+def _reference_mlp(x2d, lns, lnb, w1, b1, w2, b2, ln_eps):
+    xf = x2d.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = (xn * lns.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x2d.dtype)
+    h = jnp.dot(xn, w1.astype(x2d.dtype), preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    # tanh-approx GELU to match the kernel exactly (see _mlp_kernel).
+    g = jax.nn.gelu(h, approximate=True).astype(x2d.dtype)
+    out = jnp.dot(g, w2.astype(x2d.dtype), preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
+    return x2d + out.astype(x2d.dtype)
+
+
+_MLP_ROW_BLOCK = 256
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_mlp(x2d, lns, lnb, w1, b1, w2, b2, ln_eps):
+    return _fused_mlp_call(x2d, lns, lnb, w1, b1, w2, b2, ln_eps)
+
+
+def _fused_mlp_call(x2d, lns, lnb, w1, b1, w2, b2, ln_eps):
+    n, d = x2d.shape
+    m = w1.shape[1]
+    bn = min(_MLP_ROW_BLOCK, _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    if np_ != n:
+        x2d = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, ln_eps=float(ln_eps)),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, d), x2d.dtype),
+        interpret=interpret,
+    )(
+        x2d,
+        lns.reshape(1, d),
+        lnb.reshape(1, d),
+        w1,
+        b1.reshape(1, m),
+        w2,
+        b2.reshape(1, d),
+    )
+    return out[:n] if np_ != n else out
+
+
+def _fused_mlp_fwd(x2d, lns, lnb, w1, b1, w2, b2, ln_eps):
+    out = _fused_mlp_call(x2d, lns, lnb, w1, b1, w2, b2, ln_eps)
+    return out, (x2d, lns, lnb, w1, b1, w2, b2)
+
+
+def _fused_mlp_bwd(ln_eps, res, g):
+    x2d, lns, lnb, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_mlp(*a, ln_eps), x2d, lns, lnb, w1, b1, w2, b2
+    )
+    return vjp(g)
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def mlp_sublayer(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    fc1_w: jax.Array,
+    fc1_b: jax.Array,
+    fc2_w: jax.Array,
+    fc2_b: jax.Array,
+    *,
+    ln_eps: float = 1e-5,
+) -> jax.Array:
+    """Fused ``x + fc2(GELU(fc1(LN(x))))`` — the second half of a timm Block.
+
+    Row-independent, so [B, T, D] is flattened to [B*T, D] and tiled over
+    row blocks: full MXU shapes regardless of T, and LN/GELU/residual never
+    round-trip HBM (round-1 profile: these passes cost ~45% of MLP time).
+    """
+    b, t, d = x.shape
+    out = _fused_mlp(
+        x.reshape(b * t, d), ln_scale, ln_bias, fc1_w, fc1_b, fc2_w, fc2_b,
+        float(ln_eps),
+    )
+    return out.reshape(b, t, d)
+
+
+def attn_sublayer(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array,
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    num_heads: int,
+    ln_eps: float = 1e-5,
+) -> jax.Array:
+    """Fused ``x + proj(MHSA(LN(x)))``.
+
+    Args:
+      x: [B, T, D] residual stream (bf16 for the serving policy).
+      qkv_w: [D, 3D] fused projection, columns ordered (q|k|v) x heads —
+        the layout of :func:`core.encoder.param_shapes`.
+      mask: optional [B, T] bool keep-mask for padded/ragged batches.
+    """
+    b, t, d = x.shape
+    if mask is None:
+        bias = jnp.zeros((b, t), jnp.float32)
+    else:
+        bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+    return _fused(
+        x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b, bias,
+        float(ln_eps), num_heads,
+    )
