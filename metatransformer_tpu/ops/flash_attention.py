@@ -11,9 +11,13 @@ block_k chunks from VMEM. Ragged batches use an additive bias row
 [B, T] (0 / -inf) built from the keep-mask; padded tail rows produced by
 bucketing are masked the same way.
 
-Backward: custom VJP that recomputes attention with plain XLA ops —
-O(T^2) memory is fine at these lengths (<=1568); a Pallas backward is a
-later optimization.
+Backward: full Pallas backward (FlashAttention-2 style). The forward
+additionally emits per-row logsumexp; the backward recomputes the
+probabilities blockwise in two kernels — dq gridded over query blocks,
+dk/dv gridded over key blocks — so the [T, T] logits never materialize
+in HBM in either direction. This beats the reference, which trains video
+at T=1568 through full materialized attention
+(/root/reference/Video/engine_for_finetuning.py:35).
 """
 
 from __future__ import annotations
@@ -58,7 +62,12 @@ def _choose_blocks(t: int) -> tuple:
     return tp, 256, 256
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, bk: int):
+def _interpret() -> bool:
+    # Pallas compiles only on TPU; the CPU test platform runs interpreted.
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale: float, bk: int):
     q = q_ref[0]  # [bq, d]
     t = k_ref.shape[1]
     num_kb = t // bk
@@ -93,17 +102,19 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, bk: int):
         jnp.zeros((bq, d), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, init)
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)  # [bq, 1]
 
 
 def _flash_fwd_raw(q, k, v, bias, scale, bq, bk):
-    """q,k,v: [BH, Tp, d] (Tp pre-padded); bias [BH, 1, Tp]."""
+    """q,k,v: [BH, Tp, d] (Tp pre-padded); bias [BH, 1, Tp].
+
+    Returns (o [BH, Tp, d], lse [BH, Tp, 1])."""
     bh, t, d = q.shape
     grid = (bh, t // bq)
-    # Pallas compiles only on TPU; the CPU test platform runs interpreted.
-    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, bk=bk),
+        functools.partial(_fwd_kernel, scale=scale, bk=bk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -111,16 +122,159 @@ def _flash_fwd_raw(q, k, v, bias, scale, bq, bk):
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, bias)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale: float, bk: int
+):
+    q = q_ref[0]  # [bq, d]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [bq, 1] fp32
+    delta = delta_ref[0]  # [bq, 1] fp32
+    t = k_ref.shape[1]
+    bq, d = q.shape
+
+    def body(i, dq):
+        off = i * bk
+        kb = k_ref[0, pl.ds(off, bk), :]
+        vb = v_ref[0, pl.ds(off, bk), :]
+        b = bias_ref[0, 0, pl.ds(off, bk)][None, :]
+        s = (
+            jax.lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + b
+        )  # [bq, bk]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do.astype(vb.dtype), vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds.astype(kb.dtype), kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, t // bk, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale: float, bq: int
+):
+    kb = k_ref[0]  # [bk, d]
+    vb = v_ref[0]
+    b = bias_ref[0]  # [1, bk]
+    t = q_ref.shape[1]
+    bkk, d = kb.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        off = i * bq
+        qb = q_ref[0, pl.ds(off, bq), :]
+        dob = do_ref[0, pl.ds(off, bq), :]
+        lse_b = lse_ref[0, pl.ds(off, bq), :]  # [bq, 1]
+        delta_b = delta_ref[0, pl.ds(off, bq), :]
+        s = (
+            jax.lax.dot_general(
+                qb, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + b
+        )  # [bq, bk]
+        p = jnp.exp(s - lse_b)
+        dp = jax.lax.dot_general(
+            dob, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_b)
+        # contract over the query rows: ds^T @ q, p^T @ dO
+        dk = dk + jax.lax.dot_general(
+            ds.astype(qb.dtype), qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv = dv + jax.lax.dot_general(
+            p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, t // bq, body,
+        (jnp.zeros((bkk, d), jnp.float32), jnp.zeros((bkk, d), jnp.float32)),
+    )
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_raw(q, k, v, bias, o, lse, do, scale, bq, bk):
+    """All [BH, Tp, d] (bias [BH, 1, Tp]); returns dq, dk, dv in kind."""
+    bh, t, d = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True)
+    interp = _interpret()
+    full = lambda i, j: (i, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, bk=bk),
+        grid=(bh, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias)
+        interpret=interp,
+    )(q, k, v, bias, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, bq=bq),
+        grid=(bh, t // bk),
+        in_specs=[
+            pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), v.dtype),
+        ),
+        interpret=interp,
+    )(q, k, v, bias, do, lse, delta)
+    return dq, dk, dv
 
 
 def _reference_attention(q, k, v, bias, scale):
-    """XLA twin used for the backward pass (and as the test oracle)."""
+    """XLA twin (test oracle). q,k,v: [B, T, H, d]; bias [B, T]."""
     logits = (
         jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
         * scale
@@ -130,40 +284,58 @@ def _reference_attention(q, k, v, bias, scale):
     return jnp.einsum("bhts,bshd->bthd", probs, v)
 
 
+def _to_bh(x, pad):
+    """[B, T, H, d] -> [BH, Tp, d]"""
+    b, t, h, d = x.shape
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x
+
+
+def _from_bh(x, b, h, t):
+    """[BH, Tp, d] -> [B, T, H, d]"""
+    return x[:, :t].reshape(b, h, t, -1).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash(q, k, v, bias, scale):
-    return _flash_call(q, k, v, bias, scale)
+    out, _ = _flash_call(q, k, v, bias, scale)
+    return out
 
 
 def _flash_call(q, k, v, bias, scale):
     b, t, h, d = q.shape
     tp, bq, bk = _choose_blocks(t)
     pad = tp - t
-
-    # [B, T, H, d] -> [BH, Tp, d]
-    def to_bh(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        return x
-
     bias_p = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF) if pad else bias
     bias_bh = jnp.repeat(bias_p[:, None, :], h, axis=0)  # [BH, 1, Tp]
-    out = _flash_fwd_raw(to_bh(q), to_bh(k), to_bh(v), bias_bh, scale, bq, bk)
-    out = out[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
-    return out
+    qbh, kbh, vbh = _to_bh(q, pad), _to_bh(k, pad), _to_bh(v, pad)
+    obh, lse = _flash_fwd_raw(qbh, kbh, vbh, bias_bh, scale, bq, bk)
+    out = _from_bh(obh, b, h, t)
+    return out, (qbh, kbh, vbh, bias_bh, obh, lse)
 
 
 def _flash_fwd(q, k, v, bias, scale):
-    return _flash_call(q, k, v, bias, scale), (q, k, v, bias)
+    out, res = _flash_call(q, k, v, bias, scale)
+    return out, res + ((q.shape, bias.shape),)
 
 
 def _flash_bwd(scale, res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, bias, scale),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    qbh, kbh, vbh, bias_bh, obh, lse, (qshape, bias_shape) = res
+    b, t, h, d = qshape
+    tp, bq, bk = _choose_blocks(t)
+    dobh = _to_bh(g, tp - t)
+    dq, dk, dv = _flash_bwd_raw(
+        qbh, kbh, vbh, bias_bh, obh, lse, dobh, scale, bq, bk
+    )
+    # bias is mask-derived (0/-inf), never a differentiation target
+    return (
+        _from_bh(dq, b, h, t),
+        _from_bh(dk, b, h, t),
+        _from_bh(dv, b, h, t),
+        jnp.zeros(bias_shape, jnp.float32),
+    )
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -66,6 +66,49 @@ def test_flash_grads_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("t", [300, 520])
+def test_flash_grads_multiblock_masked(t):
+    """Pallas backward across several K/Q blocks, with a ragged mask."""
+    rng = np.random.default_rng(7)
+    q, k, v = _rand_qkv(rng, 2, t, 1, 64)
+    mask = np.ones((2, t), bool)
+    mask[0, t - 37 :] = False
+    scale = 64**-0.5
+    bias = jnp.where(jnp.asarray(mask), 0.0, fa.NEG_INF).astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, mask=jnp.asarray(mask)) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa._reference_attention(q, k, v, bias, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    keep = np.asarray(mask)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        # masked-out key/query positions carry no useful gradient
+        np.testing.assert_allclose(a[keep], b[keep], rtol=2e-3, atol=2e-3)
+
+
+def test_flash_backward_no_quadratic_buffer():
+    """The jaxpr of the backward must not contain a [T, T]-sized tensor."""
+    t = 1568
+    q = jnp.zeros((1, t, 2, 64), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32))
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, q, q)
+    tp = 1664  # padded T
+    for eqn in jaxpr.jaxpr.eqns:
+        for var in eqn.outvars:
+            shape = getattr(var.aval, "shape", ())
+            assert not (
+                len(shape) >= 2 and shape[-1] >= tp and shape[-2] >= tp
+            ), f"quadratic buffer {shape} in backward"
+
+
 def test_flash_bf16():
     rng = np.random.default_rng(3)
     q, k, v = _rand_qkv(rng, 1, 128, 4, 64)
