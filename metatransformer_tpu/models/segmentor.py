@@ -62,3 +62,80 @@ def seg_loss(logits: jax.Array, labels: jax.Array, ignore_index: int = 255):
     safe = jnp.where(valid, labels, 0)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
     return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# ---------------------------------------------------------------------------
+# Mask2Former segmentor (the reference's flagship seg capability:
+# encoder_decoder_mask2former.py + mask2former_head.py over ViT-Adapter)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Mask2FormerSegmentorConfig:
+    backbone: vit_adapter.ViTAdapterConfig = vit_adapter.ViTAdapterConfig()
+    num_classes: int = 150
+    head_channels: int = 256
+    num_queries: int = 100
+    num_decoder_layers: int = 9
+    num_encoder_layers: int = 6
+    num_heads: int = 8
+
+    @property
+    def head(self):
+        from metatransformer_tpu.heads import mask2former as m2f
+
+        d = self.backbone.encoder.dim
+        c = self.head_channels
+        return m2f.Mask2FormerConfig(
+            num_classes=self.num_classes,
+            num_queries=self.num_queries,
+            feat_channels=c,
+            out_channels=c,
+            num_decoder_layers=self.num_decoder_layers,
+            num_heads=self.num_heads,
+            ffn_dim=8 * c,
+            pixel_decoder=m2f.PixelDecoderConfig(
+                in_channels=(d, d, d, d),
+                feat_channels=c,
+                out_channels=c,
+                num_encoder_layers=self.num_encoder_layers,
+                num_heads=self.num_heads,
+                ffn_dim=4 * c,
+            ),
+        )
+
+
+def init_mask2former(cfg: Mask2FormerSegmentorConfig, key: jax.Array):
+    from metatransformer_tpu.heads import mask2former as m2f
+
+    k1, k2 = jax.random.split(key)
+    return {
+        "backbone": vit_adapter.init(cfg.backbone, k1),
+        "head": m2f.init(cfg.head, k2),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def forward_mask2former(
+    params: Dict[str, Any],
+    images: jax.Array,  # [B, H, W, 3]
+    cfg: Mask2FormerSegmentorConfig,
+    precision: enc.Precision = enc.FP32,
+):
+    """-> (all_cls [L+1,B,Q,C+1], all_masks [L+1,B,Q,H/4,W/4]).
+
+    Training supervises every layer (heads.mask2former.loss); inference
+    takes the last layer through semantic_inference + bilinear upsample.
+    """
+    from metatransformer_tpu.heads import mask2former as m2f
+
+    feats = vit_adapter.apply(params["backbone"], images, cfg.backbone, precision)
+    return m2f.apply(params["head"], feats, cfg.head, precision.mm)
+
+
+def mask2former_semantic(all_cls, all_masks, out_hw):
+    """Last-layer semantic map upsampled to the input size -> [B,H,W,C]."""
+    from metatransformer_tpu.heads import mask2former as m2f
+
+    sem = m2f.semantic_inference(all_cls[-1], all_masks[-1])
+    b, _, _, c = sem.shape
+    return jax.image.resize(sem, (b, out_hw[0], out_hw[1], c), "bilinear")

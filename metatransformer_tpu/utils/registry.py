@@ -51,6 +51,8 @@ HEADS = Registry("heads")
 
 def _register_builtins() -> None:
     """Register the shipped model families by name."""
+    import types
+
     from metatransformer_tpu.models import (
         audio_classifier,
         graph_predictor,
@@ -58,6 +60,7 @@ def _register_builtins() -> None:
         image_classifier,
         point_classifier,
         point_segmenter,
+        segmentor,
         tabular_classifier,
         time_series,
         video_classifier,
@@ -73,6 +76,12 @@ def _register_builtins() -> None:
         "TabularClassifier": tabular_classifier,
         "GraphPredictor": graph_predictor,
         "TimeSeriesModel": time_series,
+        "Segmentor": segmentor,  # ViT-Adapter + UperNet
+        "Mask2FormerSegmentor": types.SimpleNamespace(
+            init=segmentor.init_mask2former,
+            forward=segmentor.forward_mask2former,
+            Config=segmentor.Mask2FormerSegmentorConfig,
+        ),
     }
     for name, mod in pairs.items():
         if name not in MODELS:

@@ -55,6 +55,22 @@ def test_upernet_head():
     assert out.shape == (2, 16, 16, 7)
 
 
+def test_mask2former_segmentor_end_to_end():
+    """ViT-Adapter pyramid -> MSDeformAttn pixel decoder -> Mask2Former."""
+    cfg = segmentor.Mask2FormerSegmentorConfig(
+        backbone=_small_cfg(), num_classes=5, head_channels=32,
+        num_queries=8, num_decoder_layers=3, num_encoder_layers=1, num_heads=4,
+    )
+    params = segmentor.init_mask2former(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 64, 64, 3), np.float32))
+    all_cls, all_masks = segmentor.forward_mask2former(params, x, cfg)
+    assert all_cls.shape == (4, 1, 8, 6)  # 3 layers + initial, C+1
+    assert all_masks.shape == (4, 1, 8, 16, 16)  # stride-4
+    sem = segmentor.mask2former_semantic(all_cls, all_masks, (64, 64))
+    assert sem.shape == (1, 64, 64, 5)
+    assert np.isfinite(np.asarray(sem)).all()
+
+
 def test_segmentor_end_to_end_and_loss():
     cfg = segmentor.SegmentorConfig(backbone=_small_cfg(), num_classes=5)
     params = segmentor.init(cfg, jax.random.PRNGKey(0))
