@@ -1,0 +1,313 @@
+"""Sparse 3D convolution on active-voxel lists, TPU-native.
+
+Replaces the spconv CUDA engine the reference's voxel backbones depend on
+(``AutonomousDriving/pcdet/models/backbones_3d/spconv_backbone.py``,
+``pcdet/utils/spconv_utils.py``). spconv builds GPU hash tables and
+gather/scatter "rulebooks"; none of that maps to XLA. The TPU design:
+
+* A sparse tensor is a **fixed-capacity voxel list**: ``features [N, C]``,
+  ``coords [N, 4]`` (batch, z, y, x) and a ``valid [N]`` mask — static
+  shapes end to end, the TPU answer to dynamic voxel counts.
+* Neighbor lookup = **sorted linearized keys + vectorized binary search**
+  (``jnp.searchsorted``), rebuilt per layer group in O(N log N) — the
+  XLA-friendly equivalent of spconv's hash rulebook.
+* Convolution = one batched gather of the K=k^3 neighborhood
+  ``[N, K, Cin]`` followed by a single MXU contraction with the
+  ``[K*Cin, Cout]`` kernel — all FLOPs in one matmul.
+* Submanifold conv (SubMConv3d) keeps the active set; strided sparse conv
+  (SparseConv3d) emits the **downsampled input positions** (first
+  occurrence wins, duplicates masked invalid). spconv additionally emits
+  kernel-reachable empty-center positions; those carry near-zero signal
+  and would break static capacity — documented design delta.
+* BatchNorm1d over active voxels = masked batch statistics.
+
+Coordinates linearize into int32; callers must keep
+``batch_size * D * H * W < 2**31`` (KITTI grid at batch 4 fits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SENTINEL = np.int32(2**31 - 1)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("features", "coords", "valid"),
+    meta_fields=("spatial_shape", "batch_size"),
+)
+@dataclasses.dataclass(frozen=True)
+class SparseTensor:
+    features: jax.Array  # [N, C]
+    coords: jax.Array  # [N, 4] int32: (batch, z, y, x)
+    valid: jax.Array  # [N] bool
+    spatial_shape: Tuple[int, int, int]  # (D, H, W), static
+    batch_size: int  # static
+
+    @property
+    def capacity(self) -> int:
+        return self.features.shape[0]
+
+
+def _linearize(coords: jax.Array, valid: jax.Array,
+               spatial_shape: Tuple[int, int, int]) -> jax.Array:
+    """[N, 4] -> int32 keys; out-of-bounds/invalid -> SENTINEL."""
+    d, h, w = spatial_shape
+    b, z, y, x = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    inb = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w) & valid
+    key = ((b * d + z) * h + y) * w + x
+    return jnp.where(inb, key, SENTINEL)
+
+
+def build_lookup(st: SparseTensor) -> Tuple[jax.Array, jax.Array]:
+    """-> (sorted_keys [N], order [N]): the reusable 'rulebook'."""
+    keys = _linearize(st.coords, st.valid, st.spatial_shape)
+    order = jnp.argsort(keys)
+    return keys[order], order
+
+
+def lookup(sorted_keys: jax.Array, order: jax.Array,
+           query_keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """query [M] keys -> (source row index [M], found [M])."""
+    n = sorted_keys.shape[0]
+    idx = jnp.searchsorted(sorted_keys, query_keys)
+    idx = jnp.clip(idx, 0, n - 1)
+    found = (sorted_keys[idx] == query_keys) & (query_keys != SENTINEL)
+    return order[idx], found
+
+
+def _offsets(kernel: Tuple[int, int, int]) -> np.ndarray:
+    """k^3 integer offsets, kernel-centered, in weight-layout order."""
+    kd, kh, kw = kernel
+    g = np.stack(
+        np.meshgrid(np.arange(kd), np.arange(kh), np.arange(kw), indexing="ij"),
+        -1,
+    ).reshape(-1, 3)
+    return g - np.array([kd // 2, kh // 2, kw // 2])
+
+
+def _gather_neighborhood(
+    st: SparseTensor,
+    centers: jax.Array,  # [N, 3] zyx positions the kernel is centered on
+    center_valid: jax.Array,
+    offsets: np.ndarray,  # [K, 3]
+    sorted_keys: jax.Array,
+    order: jax.Array,
+) -> jax.Array:
+    """-> [N, K, Cin] neighbor features (zeros where absent)."""
+    n = centers.shape[0]
+    k = offsets.shape[0]
+    q = centers[:, None, :] + jnp.asarray(offsets, jnp.int32)[None]  # [N, K, 3]
+    qc = jnp.concatenate(
+        [jnp.broadcast_to(st.coords[:, :1, None], (n, 1, k)).transpose(0, 2, 1), q],
+        axis=-1,
+    ).reshape(n * k, 4)
+    qkeys = _linearize(
+        qc, jnp.repeat(center_valid, k), st.spatial_shape
+    )
+    src, found = lookup(sorted_keys, order, qkeys)
+    feats = st.features[src] * found[:, None].astype(st.features.dtype)
+    return feats.reshape(n, k, -1)
+
+
+def subm_conv3d(
+    st: SparseTensor,
+    weight: jax.Array,  # [kd, kh, kw, Cin, Cout]
+    rulebook: Tuple[jax.Array, jax.Array] | None = None,
+) -> SparseTensor:
+    """Submanifold conv: output active set == input active set
+    (spconv.SubMConv3d). The rulebook can be shared across layers with the
+    same active set (the reference's ``indice_key``)."""
+    kd, kh, kw, cin, cout = weight.shape
+    sorted_keys, order = rulebook if rulebook is not None else build_lookup(st)
+    neigh = _gather_neighborhood(
+        st, st.coords[:, 1:], st.valid, _offsets((kd, kh, kw)), sorted_keys, order
+    )  # [N, K, Cin]
+    out = jax.lax.dot_general(
+        neigh.reshape(st.capacity, kd * kh * kw * cin),
+        weight.reshape(kd * kh * kw * cin, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(st.features.dtype)
+    out = out * st.valid[:, None].astype(out.dtype)
+    return dataclasses.replace(st, features=out)
+
+
+def sparse_conv3d(
+    st: SparseTensor,
+    weight: jax.Array,  # [kd, kh, kw, Cin, Cout]
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+) -> SparseTensor:
+    """Strided sparse conv (spconv.SparseConv3d). Output active set =
+    deduplicated downsampled input positions (see module docstring)."""
+    kd, kh, kw, cin, cout = weight.shape
+    kern = np.array([kd, kh, kw])
+    strd = np.array(stride)
+    padd = np.array(padding)
+    d, h, w = st.spatial_shape
+    out_shape = tuple(
+        int(v) for v in (np.array([d, h, w]) + 2 * padd - kern) // strd + 1
+    )
+
+    zyx = st.coords[:, 1:]
+    out_zyx = (zyx + jnp.asarray(padd - kern // 2, jnp.int32)) // jnp.asarray(
+        strd, jnp.int32
+    )
+    out_coords = jnp.concatenate([st.coords[:, :1], out_zyx], axis=-1)
+    # clamp to the output grid; dedup below keeps first occurrence only
+    inb = jnp.all(
+        (out_zyx >= 0) & (out_zyx < jnp.asarray(out_shape, jnp.int32)), axis=-1
+    )
+    out_valid = st.valid & inb
+    out_keys = _linearize(out_coords, out_valid, out_shape)
+    order = jnp.argsort(out_keys)
+    sk = out_keys[order]
+    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    uniq_sorted = first & (sk != SENTINEL)
+    uniq = jnp.zeros_like(out_valid).at[order].set(uniq_sorted)
+
+    # gather the input neighborhood of each output position:
+    # input position = o*stride - pad + kk  (kernel-corner order)
+    corner = _offsets((kd, kh, kw)) + np.array([kd // 2, kh // 2, kw // 2])
+    in_centers = out_zyx * jnp.asarray(strd, jnp.int32) - jnp.asarray(
+        padd, jnp.int32
+    )
+    sorted_keys_in, order_in = build_lookup(st)
+    neigh = _gather_neighborhood(
+        st, in_centers, out_valid, corner, sorted_keys_in, order_in
+    )
+    out = jax.lax.dot_general(
+        neigh.reshape(st.capacity, kd * kh * kw * cin),
+        weight.reshape(kd * kh * kw * cin, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(st.features.dtype)
+    out = out * uniq[:, None].astype(out.dtype)
+    return SparseTensor(
+        features=out,
+        coords=out_coords,
+        valid=uniq,
+        spatial_shape=out_shape,
+        batch_size=st.batch_size,
+    )
+
+
+def batch_norm_relu(
+    st: SparseTensor,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-3,
+    relu: bool = True,
+) -> SparseTensor:
+    """BatchNorm1d over active voxels (masked batch stats) + ReLU —
+    the reference's norm_fn(+ReLU) after every sparse conv."""
+    f = st.features.astype(jnp.float32)
+    m = st.valid.astype(jnp.float32)[:, None]
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(f * m, axis=0) / cnt
+    var = jnp.sum(jnp.square(f - mean) * m, axis=0) / cnt
+    f = (f - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    if relu:
+        f = jax.nn.relu(f)
+    f = (f * m).astype(st.features.dtype)
+    return dataclasses.replace(st, features=f)
+
+
+def to_dense(st: SparseTensor) -> jax.Array:
+    """-> [B, D, H, W, C] (SparseConvTensor.dense(), NHWC-style)."""
+    d, h, w = st.spatial_shape
+    c = st.features.shape[1]
+    dense = jnp.zeros((st.batch_size, d, h, w, c), st.features.dtype)
+    co = jnp.where(st.valid[:, None], st.coords, SENTINEL)
+    return dense.at[co[:, 0], co[:, 1], co[:, 2], co[:, 3]].add(
+        st.features * st.valid[:, None].astype(st.features.dtype),
+        mode="drop",
+    )
+
+
+def voxelize_points(
+    points: jax.Array,  # [B, P, F] with xyz first (KITTI: F=4, +intensity)
+    point_valid: jax.Array,  # [B, P] bool
+    voxel_size: Tuple[float, float, float],
+    pc_range: Tuple[float, float, float, float, float, float],
+    spatial_shape: Tuple[int, int, int],  # (D, H, W) = (z, y, x) cells
+    max_voxels: int,
+) -> SparseTensor:
+    """Mean-VFE voxelization into a fixed-capacity voxel list — the
+    reference's VoxelGeneratorWrapper + MeanVFE
+    (``pcdet/datasets/processor/data_processor.py:63-251``,
+    ``backbones_3d/vfe/mean_vfe.py``) as one jittable op."""
+    b, p, f = points.shape
+    d, h, w = spatial_shape
+    vx, vy, vz = voxel_size
+    x0, y0, z0 = pc_range[0], pc_range[1], pc_range[2]
+
+    xi = jnp.floor((points[..., 0] - x0) / vx).astype(jnp.int32)
+    yi = jnp.floor((points[..., 1] - y0) / vy).astype(jnp.int32)
+    zi = jnp.floor((points[..., 2] - z0) / vz).astype(jnp.int32)
+    inb = (
+        point_valid
+        & (xi >= 0) & (xi < w)
+        & (yi >= 0) & (yi < h)
+        & (zi >= 0) & (zi < d)
+    )
+    bi = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, p))
+    keys = ((bi * d + zi) * h + yi) * w + xi
+    keys = jnp.where(inb, keys, SENTINEL).reshape(-1)
+
+    uniq = jnp.unique(keys, size=max_voxels, fill_value=SENTINEL)
+    slot = jnp.searchsorted(uniq, keys)
+    slot = jnp.clip(slot, 0, max_voxels - 1)
+    hit = (uniq[slot] == keys) & (keys != SENTINEL)
+    slot = jnp.where(hit, slot, max_voxels)  # OOB -> dropped
+
+    feats = points.reshape(b * p, f) * hit[:, None].astype(points.dtype)
+    summed = jnp.zeros((max_voxels, f), points.dtype).at[slot].add(
+        feats, mode="drop"
+    )
+    counts = jnp.zeros((max_voxels,), jnp.float32).at[slot].add(
+        hit.astype(jnp.float32), mode="drop"
+    )
+    mean = summed / jnp.maximum(counts, 1.0)[:, None]
+
+    valid = uniq != SENTINEL
+    kk = jnp.where(valid, uniq, 0)
+    vb = kk // (d * h * w)
+    vz_ = (kk // (h * w)) % d
+    vy_ = (kk // w) % h
+    vx_ = kk % w
+    coords = jnp.stack([vb, vz_, vy_, vx_], axis=-1).astype(jnp.int32)
+    return SparseTensor(
+        features=mean * valid[:, None].astype(points.dtype),
+        coords=coords,
+        valid=valid,
+        spatial_shape=spatial_shape,
+        batch_size=b,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense oracle (test twin)
+# ---------------------------------------------------------------------------
+
+def dense_conv3d_oracle(
+    st: SparseTensor, weight: jax.Array, stride=(1, 1, 1), padding=(1, 1, 1),
+    submanifold: bool = True,
+) -> jax.Array:
+    """Dense conv3d on the scattered grid — the numerical oracle the
+    sparse path is tested against (masked to the sparse output set)."""
+    dense = to_dense(st)  # [B, D, H, W, C]
+    out = jax.lax.conv_general_dilated(
+        dense, weight, stride, [(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out

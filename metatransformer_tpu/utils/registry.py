@@ -60,6 +60,7 @@ def _register_builtins() -> None:
         image_classifier,
         point_classifier,
         point_segmenter,
+        second,
         segmentor,
         tabular_classifier,
         time_series,
@@ -77,6 +78,7 @@ def _register_builtins() -> None:
         "GraphPredictor": graph_predictor,
         "TimeSeriesModel": time_series,
         "Segmentor": segmentor,  # ViT-Adapter + UperNet
+        "SECONDNet": second,  # sparse-voxel 3D detector
         "Mask2FormerSegmentor": types.SimpleNamespace(
             init=segmentor.init_mask2former,
             forward=segmentor.forward_mask2former,
