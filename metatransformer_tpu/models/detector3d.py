@@ -27,13 +27,36 @@ from metatransformer_tpu.ops import iou3d, voxelize
 
 @dataclasses.dataclass(frozen=True)
 class AnchorConfig:
+    """Per-class anchor generation; entry i of each tuple = class i
+    (pcdet ANCHOR_GENERATOR_CONFIG, tools/cfgs/kitti_models/pointpillar.yaml)."""
+
     sizes: Tuple[Tuple[float, float, float], ...] = ((3.9, 1.6, 1.56),)  # car
     rotations: Tuple[float, ...] = (0.0, 1.5708)
-    z_center: float = -1.0
+    z_centers: Tuple[float, ...] = (-1.0,)
+    matched_thrs: Tuple[float, ...] = (0.6,)
+    unmatched_thrs: Tuple[float, ...] = (0.45,)
 
     @property
     def per_cell(self) -> int:
         return len(self.sizes) * len(self.rotations)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.sizes)
+
+    @property
+    def z_center(self) -> float:  # single-class convenience
+        return self.z_centers[0]
+
+
+# KITTI car/pedestrian/cyclist (pointpillar.yaml anchor table)
+KITTI_3CLASS = AnchorConfig(
+    sizes=((3.9, 1.6, 1.56), (0.8, 0.6, 1.73), (1.76, 0.6, 1.73)),
+    rotations=(0.0, 1.5708),
+    z_centers=(-1.78, -0.6, -0.6),
+    matched_thrs=(0.6, 0.5, 0.5),
+    unmatched_thrs=(0.45, 0.35, 0.35),
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,7 +118,8 @@ def decode_boxes(deltas: jax.Array, anchors: jax.Array) -> jax.Array:
 
 
 def generate_anchors(cfg: Detector3DConfig) -> np.ndarray:
-    """Dense anchor grid at the BEV feature stride -> [A_total, 7]."""
+    """Dense anchor grid at the BEV feature stride -> [A_total, 7].
+    Per-cell order = sizes (classes) x rotations; per-class z centers."""
     vcfg = cfg.vfe.voxel
     nx, ny, _ = vcfg.grid_size
     fx, fy = nx // cfg.feature_stride, ny // cfg.feature_stride
@@ -105,10 +129,16 @@ def generate_anchors(cfg: Detector3DConfig) -> np.ndarray:
     out = []
     for y in ys:
         for x in xs:
-            for (l, w, h) in cfg.anchors.sizes:
+            for ci, (l, w, h) in enumerate(cfg.anchors.sizes):
                 for rot in cfg.anchors.rotations:
-                    out.append([x, y, cfg.anchors.z_center, l, w, h, rot])
+                    out.append([x, y, cfg.anchors.z_centers[ci], l, w, h, rot])
     return np.asarray(out, np.float32)
+
+
+def anchor_class_ids(acfg: AnchorConfig, total: int) -> np.ndarray:
+    """Class index of each anchor in generate_anchors order -> [A_total]."""
+    nrot = len(acfg.rotations)
+    return (np.arange(total) // nrot) % len(acfg.sizes)
 
 
 # --- BEV backbone -----------------------------------------------------------
@@ -213,26 +243,35 @@ def assign_targets(
     anchors: jax.Array,  # [A, 7]
     gt_boxes: jax.Array,  # [G, 7] (zero rows = padding)
     gt_valid: jax.Array,  # [G]
-    matched_thr: float = 0.6,
-    unmatched_thr: float = 0.45,
+    matched_thr: float | jax.Array = 0.6,  # scalar or per-anchor [A]
+    unmatched_thr: float | jax.Array = 0.45,
+    gt_labels: jax.Array | None = None,  # [G] class ids
+    anchor_cls: jax.Array | None = None,  # [A] class ids
 ):
-    """BEV-IoU anchor assignment (AxisAlignedTargetAssigner semantics).
+    """BEV-IoU anchor assignment (AxisAlignedTargetAssigner semantics):
+    each class's anchors are matched only against that class's gt boxes,
+    with per-class matched/unmatched thresholds.
 
     -> (labels [A] in {-1 ignore, 0 bg, 1 fg}, matched_gt_idx [A])."""
     iou = iou3d.boxes_iou3d(anchors, gt_boxes)  # [A, G]
-    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    keep = gt_valid[None, :]
+    if gt_labels is not None and anchor_cls is not None:
+        keep = keep & (gt_labels[None, :] == anchor_cls[:, None])
+    iou = jnp.where(keep, iou, -1.0)
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
     labels = jnp.where(
         best_iou >= matched_thr, 1, jnp.where(best_iou < unmatched_thr, 0, -1)
     )
-    # force-match the best anchor of each VALID gt (leave others untouched)
+    # force-match the best (class-compatible) anchor of each VALID gt
+    any_compat = jnp.any(keep, axis=0)
     best_anchor = jnp.argmax(iou, axis=0)  # [G]
+    force = gt_valid & any_compat
     labels = labels.at[best_anchor].set(
-        jnp.where(gt_valid, 1, labels[best_anchor])
+        jnp.where(force, 1, labels[best_anchor])
     )
     best_gt = best_gt.at[best_anchor].set(
-        jnp.where(gt_valid, jnp.arange(gt_boxes.shape[0]), best_gt[best_anchor])
+        jnp.where(force, jnp.arange(gt_boxes.shape[0]), best_gt[best_anchor])
     )
     return labels, best_gt
 
@@ -251,22 +290,39 @@ def detection_loss(
     cls_weight: float = 1.0,
     box_weight: float = 2.0,
     dir_weight: float = 0.2,
+    gt_labels: jax.Array = None,  # [B, G] class ids (multi-class)
 ):
-    """Focal cls + smooth-L1 box + dir-bin CE (anchor_head losses)."""
+    """Focal cls + smooth-L1 box + dir-bin CE (anchor_head losses).
+    Multi-class: per-class anchor assignment with per-class thresholds;
+    one-hot focal targets over [A, num_classes] sigmoid outputs."""
+    a_total = anchors.shape[0]
+    multiclass = cfg.num_classes > 1
+    if gt_labels is None:
+        gt_labels = jnp.zeros(gt_valid.shape, jnp.int32)
+    acls = jnp.asarray(anchor_class_ids(cfg.anchors, a_total))
+    m_thr = jnp.asarray(cfg.anchors.matched_thrs, jnp.float32)[acls]
+    u_thr = jnp.asarray(cfg.anchors.unmatched_thrs, jnp.float32)[acls]
 
-    def per_sample(cls_logits, box_deltas, dir_logits, gt, gv):
-        labels, gt_idx = assign_targets(anchors, gt, gv)
+    def per_sample(cls_logits, box_deltas, dir_logits, gt, gv, gl):
+        labels, gt_idx = assign_targets(
+            anchors, gt, gv, m_thr, u_thr,
+            gt_labels=gl if multiclass else None,
+            anchor_cls=acls if multiclass else None,
+        )
         fg = labels == 1
         valid = labels >= 0
-        # focal loss (alpha .25 gamma 2), single class
-        p = jax.nn.sigmoid(cls_logits[:, 0])
-        t = fg.astype(jnp.float32)
+        # focal loss (alpha .25 gamma 2), one-hot over num_classes
+        p = jax.nn.sigmoid(cls_logits)  # [A, C]
+        t = (
+            jax.nn.one_hot(gl[gt_idx], cfg.num_classes)
+            * fg[:, None].astype(jnp.float32)
+        )
         pt = p * t + (1 - p) * (1 - t)
         alpha_t = 0.25 * t + 0.75 * (1 - t)
         ce = -jnp.log(jnp.clip(pt, 1e-7))
-        cls_loss = jnp.sum(alpha_t * (1 - pt) ** 2 * ce * valid) / jnp.maximum(
-            jnp.sum(fg), 1.0
-        )
+        cls_loss = jnp.sum(
+            alpha_t * (1 - pt) ** 2 * ce * valid[:, None]
+        ) / jnp.maximum(jnp.sum(fg), 1.0)
         matched = gt[gt_idx]
         target_deltas = encode_boxes(matched, anchors)
         # sin-difference trick for heading (pcdet add_sin_difference)
@@ -293,7 +349,7 @@ def detection_loss(
 
     cl, bl, dl = jax.vmap(per_sample)(
         preds["cls_logits"], preds["box_deltas"], preds["dir_logits"],
-        gt_boxes, gt_valid,
+        gt_boxes, gt_valid, gt_labels,
     )
     total = cls_weight * cl.mean() + box_weight * bl.mean() + dir_weight * dl.mean()
     return total, {"cls": cl.mean(), "box": bl.mean(), "dir": dl.mean()}
@@ -314,7 +370,11 @@ def predict(
     intractable."""
     out = []
     for b in range(preds["cls_logits"].shape[0]):
-        scores_all = jax.nn.sigmoid(preds["cls_logits"][b, :, 0])
+        probs = jax.nn.sigmoid(preds["cls_logits"][b])  # [A, C]
+        # pcdet default post-processing (MULTI_CLASSES_NMS=False):
+        # score = max over classes, label = argmax, one shared NMS pass
+        scores_all = jnp.max(probs, axis=-1)
+        labels_all = jnp.argmax(probs, axis=-1)
         k = min(nms_pre, scores_all.shape[0])
         top_scores, top_idx = jax.lax.top_k(scores_all, k)
         boxes = decode_boxes(preds["box_deltas"][b][top_idx], anchors[top_idx])
@@ -327,6 +387,7 @@ def predict(
             {
                 "boxes": np.asarray(boxes[idx]),
                 "scores": np.asarray(scores[idx]),
+                "labels": np.asarray(labels_all[top_idx][idx]),
                 "valid": np.asarray(valid),
             }
         )

@@ -107,6 +107,61 @@ def test_forward_and_loss_decreases():
     assert best < l0 * 0.85, (l0, best)
 
 
+def test_three_class_anchor_grid_and_assignment():
+    """3-class KITTI anchors: per-class z/size/thresholds; class-aware
+    assignment matches anchors only to same-class gts."""
+    vcfg = voxelize.VoxelConfig(
+        pc_range=(0, -8, -3, 16, 8, 1), voxel_size=(0.5, 0.5, 4.0)
+    )
+    cfg = det.Detector3DConfig(
+        vfe=voxelize.PillarVFEConfig(voxel=vcfg, in_features=4, channels=16),
+        bev_channels=(16, 32),
+        bev_strides=(2, 2),
+        up_channels=16,
+        anchors=det.KITTI_3CLASS,
+        num_classes=3,
+    )
+    anchors = det.generate_anchors(cfg)
+    fx = fy = 16
+    assert anchors.shape == (fx * fy * 6, 7)  # 3 classes x 2 rotations
+    acls = det.anchor_class_ids(cfg.anchors, anchors.shape[0])
+    # per-class z centers honored
+    assert np.allclose(anchors[acls == 0][:, 2], -1.78)
+    assert np.allclose(anchors[acls == 1][:, 2], -0.6)
+    # class-aware assignment: a pedestrian gt must not match car anchors
+    a = jnp.asarray(
+        [[4.0, 0, -1.78, 3.9, 1.6, 1.56, 0],   # car anchor
+         [4.0, 0, -0.6, 0.8, 0.6, 1.73, 0]],   # pedestrian anchor
+        jnp.float32,
+    )
+    a_cls = jnp.asarray([0, 1])
+    gt = jnp.asarray([[4.0, 0, -0.6, 0.8, 0.6, 1.73, 0]], jnp.float32)
+    labels, idx = det.assign_targets(
+        a, gt, jnp.asarray([True]),
+        jnp.asarray([0.6, 0.5])[a_cls], jnp.asarray([0.45, 0.35])[a_cls],
+        gt_labels=jnp.asarray([1]), anchor_cls=a_cls,
+    )
+    assert int(labels[1]) == 1  # pedestrian anchor matched
+    assert int(labels[0]) == 0  # car anchor stays background
+
+    # multi-class loss shapes + finiteness + per-class logits
+    params = det.init(cfg, jax.random.PRNGKey(0))
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 8, (1, 128, 4)).astype(np.float32)
+    )
+    preds = det.forward(params, pts, cfg)
+    assert preds["cls_logits"].shape == (1, anchors.shape[0], 3)
+    gt_b = jnp.asarray([[[4.0, 0, -0.6, 0.8, 0.6, 1.73, 0]]], jnp.float32)
+    gl = jnp.asarray([[1]], jnp.int32)
+    loss, parts = det.detection_loss(
+        preds, jnp.asarray(anchors), gt_b, jnp.asarray([[True]]), cfg,
+        gt_labels=gl,
+    )
+    assert np.isfinite(float(loss))
+    out = det.predict(preds, jnp.asarray(anchors), cfg)
+    assert "labels" in out[0] and out[0]["labels"].shape == out[0]["scores"].shape
+
+
 def test_predict_pipeline():
     cfg = _small_cfg()
     params = det.init(cfg, jax.random.PRNGKey(0))
