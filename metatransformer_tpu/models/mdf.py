@@ -91,3 +91,50 @@ def domain_attention_apply(
     route = jax.nn.softmax(squeeze @ params["route_w"], axis=-1)  # [B, D]
     gate = jnp.einsum("bdc,bd->bc", exc, route)
     return x * gate.reshape(gate.shape[0], *([1] * len(axes)), gate.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# MDF-wired model: the composition the reference builds with
+# build_network_multi_db (models/__init__.py:27-34): shared trunk with
+# UniNorm switched by dataset_from_flag + domain attention before the head.
+# Used by train/multi_db.make_merged_step (and as the wiring example).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MDFClassifierConfig:
+    in_dim: int = 16
+    hidden: int = 32
+    num_classes: int = 4
+    num_datasets: int = 2
+
+    @property
+    def norm1(self) -> UniNormConfig:
+        return UniNormConfig(self.hidden, self.num_datasets)
+
+    @property
+    def dattn(self) -> DomainAttentionConfig:
+        return DomainAttentionConfig(self.hidden, self.num_datasets, reduction=4)
+
+
+def mdf_classifier_init(cfg: MDFClassifierConfig, key: jax.Array):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "fc1_w": jax.random.normal(k1, (cfg.in_dim, cfg.hidden)) * cfg.in_dim**-0.5,
+        "fc1_b": jnp.zeros((cfg.hidden,)),
+        "norm1": uni_norm_init(cfg.norm1),
+        "dattn": domain_attention_init(cfg.dattn, k2),
+        "head_w": jax.random.normal(k3, (cfg.hidden, cfg.num_classes))
+        * cfg.hidden**-0.5,
+        "head_b": jnp.zeros((cfg.num_classes,)),
+    }
+
+
+def mdf_classifier_forward(
+    params, x: jax.Array, dataset_id: jax.Array, cfg: MDFClassifierConfig
+) -> jax.Array:
+    """x [B, in_dim], dataset_id traced scalar -> logits [B, C]."""
+    h = jnp.dot(x, params["fc1_w"]) + params["fc1_b"]
+    h = uni_norm_apply(params["norm1"], h, dataset_id, cfg.norm1)
+    h = jax.nn.relu(h)
+    h = domain_attention_apply(params["dattn"], h[:, None, :], cfg.dattn)[:, 0]
+    return jnp.dot(h, params["head_w"]) + params["head_b"]
