@@ -114,6 +114,134 @@ def load_npz(path: str):
     return {k: jnp.asarray(v) for k, v in np_params.items()}, cfg
 
 
+# ---------------------------------------------------------------------------
+# BEiT checkpoints (rel-pos-bias tables, LayerScale, split q/v biases)
+# ---------------------------------------------------------------------------
+
+# BEiT block key -> (our leaf name, needs transpose)
+_BEIT_KEY_MAP = {
+    "norm1.weight": ("norm1_scale", False),
+    "norm1.bias": ("norm1_bias", False),
+    "attn.qkv.weight": ("qkv_w", True),
+    "attn.q_bias": ("q_bias", False),
+    "attn.v_bias": ("v_bias", False),
+    "attn.relative_position_bias_table": ("rel_pos_table", False),
+    "attn.proj.weight": ("proj_w", True),
+    "attn.proj.bias": ("proj_b", False),
+    "gamma_1": ("gamma_1", False),
+    "gamma_2": ("gamma_2", False),
+    "norm2.weight": ("norm2_scale", False),
+    "norm2.bias": ("norm2_bias", False),
+    "mlp.fc1.weight": ("fc1_w", True),
+    "mlp.fc1.bias": ("fc1_b", False),
+    "mlp.fc2.weight": ("fc2_w", True),
+    "mlp.fc2.bias": ("fc2_b", False),
+}
+
+
+def resize_rel_pos_table(
+    table: np.ndarray, dst_window: tuple
+) -> np.ndarray:
+    """Geometric-progression cubic resize of a relative-position bias
+    table (mmcv_custom/checkpoint.py:394-457): the source grid is laid out
+    on geometrically-spaced coordinates so outer (rare) distances stretch,
+    then cubically resampled onto the destination's integer grid. The 3
+    cls-token rows pass through unchanged."""
+    from scipy.interpolate import RectBivariateSpline
+
+    src_num_pos, heads = table.shape
+    dst_num_pos = (2 * dst_window[0] - 1) * (2 * dst_window[1] - 1) + 3
+    if dst_num_pos == src_num_pos:
+        return table
+    extra = table[-3:]
+    body = table[:-3]
+    src_size = int(round((src_num_pos - 3) ** 0.5))
+    dst_size = 2 * dst_window[0] - 1
+    assert src_size * src_size == src_num_pos - 3, "non-square source table"
+
+    def geometric_progression(a, r, n):
+        return a * (1.0 - r**n) / (1.0 - r)
+
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        if geometric_progression(1, q, src_size // 2) > dst_size // 2:
+            right = q
+        else:
+            left = q
+    dis, cur = [], 1.0
+    for i in range(src_size // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    x = np.asarray(r_ids + [0] + dis)
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+
+    cols = []
+    for i in range(heads):
+        z = body[:, i].reshape(src_size, src_size).astype(np.float64)
+        f = RectBivariateSpline(x, x, z, kx=3, ky=3)
+        cols.append(f(dx, dx).reshape(-1, 1))
+    body = np.concatenate(cols, axis=-1).astype(np.float32)
+    return np.concatenate([body, extra], axis=0)
+
+
+def convert_beit_state_dict(
+    state: Mapping[str, np.ndarray],
+    dst_window: tuple = (14, 14),
+) -> Dict[str, np.ndarray]:
+    """BEiT ``blocks.{i}.*`` (or bare ``{i}.*``) state dict -> stacked
+    pytree for :mod:`core.beit`.
+
+    Handles the two checkpoint remaps of
+    ``mmcv_custom/checkpoint.py:375-457``: a shared
+    ``rel_pos_bias.relative_position_bias_table`` is expanded to every
+    layer; per-layer tables are geometrically resized when the window
+    geometry differs; ``relative_position_index`` buffers are dropped
+    (we precompute the index, core/beit.relative_position_index).
+    """
+    state = dict(state)
+    shared = state.pop("rel_pos_bias.relative_position_bias_table", None)
+
+    per_layer: Dict[int, Dict[str, np.ndarray]] = {}
+    for key, value in state.items():
+        if "relative_position_index" in key:
+            continue
+        m = re.match(r"^(?:blocks\.)?(\d+)\.(.+)$", key)
+        if not m:
+            raise ValueError(f"unexpected BEiT checkpoint key: {key!r}")
+        idx, sub = int(m.group(1)), m.group(2)
+        if sub not in _BEIT_KEY_MAP:
+            raise ValueError(f"unexpected BEiT submodule key: {key!r}")
+        name, transpose = _BEIT_KEY_MAP[sub]
+        arr = np.asarray(value, dtype=np.float32)
+        if transpose:
+            arr = arr.T
+        per_layer.setdefault(idx, {})[name] = arr
+
+    depth = len(per_layer)
+    if sorted(per_layer) != list(range(depth)):
+        raise ValueError(f"non-contiguous layer indices: {sorted(per_layer)}")
+    for i in range(depth):
+        if "rel_pos_table" not in per_layer[i]:
+            if shared is None:
+                raise ValueError(
+                    f"layer {i} lacks a rel-pos table and no shared "
+                    "rel_pos_bias table exists in the checkpoint"
+                )
+            per_layer[i]["rel_pos_table"] = np.asarray(shared, np.float32)
+        per_layer[i]["rel_pos_table"] = resize_rel_pos_table(
+            per_layer[i]["rel_pos_table"], dst_window
+        )
+
+    names = [v[0] for v in _BEIT_KEY_MAP.values()]
+    return {
+        name: np.stack([per_layer[i][name] for i in range(depth)])
+        for name in names
+    }
+
+
 def main(argv=None) -> None:
     """CLI: ``python -m metatransformer_tpu.core.convert in.pth out.npz``."""
     import argparse

@@ -65,6 +65,20 @@ class ViTAdapterConfig:
         (0, 2), (3, 5), (6, 8), (9, 11),
     )
     add_vit_feature: bool = True
+    # "timm" = the frozen Meta-Transformer blocks; "beit" = BEiT blocks
+    # with per-layer rel-pos-bias + LayerScale (backbones/beit_adapter.py)
+    block_type: str = "timm"
+    layerscale_init: float = 0.1
+
+    def beit_cfg(self, window: Tuple[int, int]):
+        from metatransformer_tpu.core import beit as beit_mod
+
+        e = self.encoder
+        return beit_mod.BEiTConfig(
+            dim=e.dim, depth=e.depth, num_heads=e.num_heads,
+            mlp_ratio=e.mlp_ratio, window=window,
+            init_values=self.layerscale_init,
+        )
 
     @property
     def injector_cfg(self) -> msda.MSDeformAttnConfig:
@@ -183,8 +197,14 @@ def init(cfg: ViTAdapterConfig, key: jax.Array) -> Dict[str, Any]:
     keys = jax.random.split(key, 4 + len(cfg.interaction_indexes))
     d = cfg.encoder.dim
     grid = cfg.img_size // cfg.patch_size
+    if cfg.block_type == "beit":
+        from metatransformer_tpu.core import beit as beit_mod
+
+        enc_params = beit_mod.init(cfg.beit_cfg((grid, grid)), keys[0])
+    else:
+        enc_params = enc.init(cfg.encoder, keys[0])
     params: Dict[str, Any] = {
-        "encoder": enc.init(cfg.encoder, keys[0]),
+        "encoder": enc_params,
         "patch_w": jax.random.normal(
             keys[1], (cfg.patch_size * cfg.patch_size * 3, d)
         ) * (cfg.patch_size * cfg.patch_size * 3) ** -0.5,
@@ -246,8 +266,22 @@ def apply(
             ip["inj_attn"], q, refp_x3, v, shapes_c, cfg.injector_cfg
         )
         # frozen ViT blocks slice
-        def blk(carry, lp):
-            return enc.block(carry, lp, cfg.encoder, None, precision), None
+        if cfg.block_type == "beit":
+            from metatransformer_tpu.core import beit as beit_mod
+
+            bcfg = cfg.beit_cfg((gh, gw))
+            # adapter tokens carry no cls: drop the table's cls row/col
+            rel_idx = jnp.asarray(
+                beit_mod.relative_position_index((gh, gw))[1:, 1:]
+            )
+
+            def blk(carry, lp):
+                return beit_mod.block(carry, lp, bcfg, rel_idx, precision), None
+
+        else:
+
+            def blk(carry, lp):
+                return enc.block(carry, lp, cfg.encoder, None, precision), None
 
         x, _ = jax.lax.scan(blk, x, enc_layers)
         # Extractor: spatial tokens attend ViT tokens

@@ -68,3 +68,85 @@ def make_encoder(dim=768, depth=12, num_heads=12, seed=0):
         for p in blocks.parameters():
             p.add_(torch.randn_like(p) * 0.02)
     return blocks.eval()
+
+
+# ---------------------------------------------------------------------------
+# BEiT oracle (mmseg_custom/models/backbones/base/beit.py:61-186 semantics:
+# split q/v biases, per-layer rel-pos-bias table, LayerScale gammas)
+# ---------------------------------------------------------------------------
+
+
+class BEiTAttention(nn.Module):
+    def __init__(self, dim, num_heads, window):
+        super().__init__()
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.scale = self.head_dim**-0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=False)
+        self.q_bias = nn.Parameter(torch.zeros(dim))
+        self.v_bias = nn.Parameter(torch.zeros(dim))
+        self.proj = nn.Linear(dim, dim)
+        wh, ww = window
+        self.window_size = window
+        nrd = (2 * wh - 1) * (2 * ww - 1) + 3
+        self.relative_position_bias_table = nn.Parameter(torch.zeros(nrd, num_heads))
+        coords = torch.stack(
+            torch.meshgrid(torch.arange(wh), torch.arange(ww), indexing="ij")
+        ).flatten(1)
+        rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += wh - 1
+        rel[:, :, 1] += ww - 1
+        rel[:, :, 0] *= 2 * ww - 1
+        n = wh * ww
+        idx = torch.zeros((n + 1, n + 1), dtype=rel.dtype)
+        idx[1:, 1:] = rel.sum(-1)
+        idx[0, 0:] = nrd - 3
+        idx[0:, 0] = nrd - 2
+        idx[0, 0] = nrd - 1
+        self.register_buffer("relative_position_index", idx)
+
+    def forward(self, x):
+        b, t, d = x.shape
+        qkv_bias = torch.cat(
+            (self.q_bias, torch.zeros_like(self.v_bias), self.v_bias)
+        )
+        qkv = nn.functional.linear(x, self.qkv.weight, qkv_bias)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, self.head_dim).permute(
+            2, 0, 3, 1, 4
+        )
+        q, k, v = qkv.unbind(0)
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)
+        ].view(t, t, -1)
+        attn = attn + bias.permute(2, 0, 1).unsqueeze(0)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b, t, d)
+        return self.proj(x)
+
+
+class BEiTBlock(nn.Module):
+    def __init__(self, dim, num_heads, window, mlp_ratio=4.0, init_values=0.1):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = BEiTAttention(dim, num_heads, window)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = Mlp(dim, int(dim * mlp_ratio))
+        self.gamma_1 = nn.Parameter(init_values * torch.ones(dim))
+        self.gamma_2 = nn.Parameter(init_values * torch.ones(dim))
+
+    def forward(self, x):
+        x = x + self.gamma_1 * self.attn(self.norm1(x))
+        x = x + self.gamma_2 * self.mlp(self.norm2(x))
+        return x
+
+
+def make_beit_encoder(dim=64, depth=2, num_heads=2, window=(4, 4), seed=0):
+    torch.manual_seed(seed)
+    blocks = nn.Sequential(
+        *[BEiTBlock(dim, num_heads, window) for _ in range(depth)]
+    )
+    with torch.no_grad():
+        for p in blocks.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    return blocks.eval()
