@@ -121,7 +121,7 @@ def fuse_and_encode(
     return enc.encode(encoder_params, tokens, cfg, mask=mask, precision=precision)
 
 
-def bucket_length(t: int, buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600)) -> int:
+def bucket_length(t: int, buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600, 2048, 3072)) -> int:
     """Pick the bucket (static shape) for a ragged sequence length.
 
     Bounded compile cache: at most len(buckets) encoder programs serve
@@ -135,7 +135,7 @@ def bucket_length(t: int, buckets: Sequence[int] = (64, 128, 256, 512, 1024, 160
 
 def pad_to_bucket(
     tokens: jax.Array, mask: Optional[jax.Array] = None,
-    buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600),
+    buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600, 2048, 3072),
 ):
     """Pad [B, T, D] tokens (+mask) to the bucket length; returns (tokens,
     keep_mask)."""
