@@ -58,7 +58,9 @@ def _register_builtins() -> None:
         graph_predictor,
         hyper_classifier,
         image_classifier,
+        mask_rcnn,
         point_classifier,
+        point_multiview,
         point_segmenter,
         second,
         segmentor,
@@ -79,6 +81,13 @@ def _register_builtins() -> None:
         "TimeSeriesModel": time_series,
         "Segmentor": segmentor,  # ViT-Adapter + UperNet
         "SECONDNet": second,  # sparse-voxel 3D detector
+        "MetaTransformerMultiView": point_multiview,
+        "MaskRCNN": types.SimpleNamespace(
+            init=mask_rcnn.init,
+            forward=mask_rcnn.forward_test,
+            forward_train=mask_rcnn.forward_train,
+            Config=mask_rcnn.MaskRCNNConfig,
+        ),
         "Mask2FormerSegmentor": types.SimpleNamespace(
             init=segmentor.init_mask2former,
             forward=segmentor.forward_mask2former,
