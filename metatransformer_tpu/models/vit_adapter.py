@@ -16,7 +16,7 @@ not have to emit); bilinear resizes via jax.image.resize.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,10 @@ class ViTAdapterConfig:
     # with per-layer rel-pos-bias + LayerScale (backbones/beit_adapter.py)
     block_type: str = "timm"
     layerscale_init: float = 0.1
+    # per-block window-attention flags (base/vit.py WindowedAttention; the
+    # COCO/ADE recipes use (True, True, False) x 4). None = all global.
+    window_attn: Optional[Tuple[bool, ...]] = None
+    window_size: int = 14
 
     def beit_cfg(self, window: Tuple[int, int]):
         from metatransformer_tpu.core import beit as beit_mod
@@ -258,7 +262,7 @@ def apply(
     refp_c = jnp.asarray(_ref_points(shapes_c))
     refp_c1 = jnp.tile(refp_c[:, :, None, :], (b, 1, 1, 1))
 
-    def interaction_step(x, c_tokens, ip, enc_layers):
+    def interaction_step(x, c_tokens, ip, enc_layers, win_flags=None):
         # Injector: ViT tokens attend the spatial pyramid
         q = _ln(x, ip, "inj_query_norm")
         v = _ln(c_tokens, ip, "inj_feat_norm")
@@ -283,7 +287,20 @@ def apply(
             def blk(carry, lp):
                 return enc.block(carry, lp, cfg.encoder, None, precision), None
 
-        x, _ = jax.lax.scan(blk, x, enc_layers)
+        if win_flags is None:
+            x, _ = jax.lax.scan(blk, x, enc_layers)
+        else:
+            # per-block windowed/global mix (base/vit.py window_attn):
+            # static flags -> unrolled slice (3 block bodies per slice)
+            from metatransformer_tpu.ops import window_attention as win
+
+            for j, use_w in enumerate(win_flags):
+                lp = {k: v[j] for k, v in enc_layers.items()}
+                body = lambda h, lp=lp: blk(h, lp)[0]
+                if use_w:
+                    x = win.windowed_block(x, body, gh, gw, cfg.window_size)
+                else:
+                    x = body(x)
         # Extractor: spatial tokens attend ViT tokens
         q = _ln(c_tokens, ip, "ext_query_norm")
         v = _ln(x, ip, "ext_feat_norm")
@@ -307,12 +324,22 @@ def apply(
         hffn = jnp.dot(hffn, ip["ffn_fc2_w"], precision=MM) + ip["ffn_fc2_b"]
         return x, c_tokens + hffn
 
+    if cfg.window_attn is not None and cfg.block_type == "beit":
+        raise NotImplementedError(
+            "windowed BEiT blocks need window-sized rel-pos tables"
+        )
     idxs = cfg.interaction_indexes
     lengths = {hi - lo + 1 for lo, hi in idxs}
     contiguous = all(
         idxs[i][0] == idxs[i - 1][1] + 1 for i in range(1, len(idxs))
     ) and idxs[0][0] == 0
-    if len(lengths) == 1 and contiguous:
+    if cfg.window_attn is None:
+        slice_flags = [None] * len(idxs)
+        uniform_flags = True
+    else:
+        slice_flags = [tuple(cfg.window_attn[lo : hi + 1]) for lo, hi in idxs]
+        uniform_flags = len(set(slice_flags)) == 1
+    if len(lengths) == 1 and contiguous and uniform_flags:
         # Uniform slices: scan over stacked interactions — one compiled
         # interaction body instead of len(idxs) copies (4x faster compile,
         # measured 217s -> ~60s at 256px).
@@ -330,7 +357,7 @@ def apply(
         def body(carry, scanned):
             xx, cc = carry
             ip, enc_layers = scanned
-            xx, cc = interaction_step(xx, cc, ip, enc_layers)
+            xx, cc = interaction_step(xx, cc, ip, enc_layers, slice_flags[0])
             return (xx, cc), None
 
         (x, c_tokens), _ = jax.lax.scan(
@@ -342,7 +369,8 @@ def apply(
                 k: v[lo : hi + 1] for k, v in params["encoder"].items()
             }
             x, c_tokens = interaction_step(
-                x, c_tokens, params[f"interaction{i}"], enc_layers
+                x, c_tokens, params[f"interaction{i}"], enc_layers,
+                slice_flags[i],
             )
 
     # split pyramid back to maps

@@ -35,6 +35,34 @@ def window_unpartition(x: jax.Array, batch: int, grid_h: int, grid_w: int,
     return x.reshape(batch, grid_h * grid_w, c)
 
 
+def windowed_block(
+    x: jax.Array,  # [B, H*W, C] grid tokens
+    block_fn,  # callable([Bw, w*w, C]) -> [Bw, w*w, C] (a full block)
+    grid_h: int,
+    grid_w: int,
+    window: int = 14,
+) -> jax.Array:
+    """Run a per-token transformer block with window-restricted attention:
+    pad the grid to a window multiple (base/vit.py pads inside
+    WindowedAttention), partition, apply, unpartition, crop. Valid because
+    LN/MLP/residual are per-token — only attention sees the windows."""
+    b, _, c = x.shape
+    gh = -(-grid_h // window) * window
+    gw = -(-grid_w // window) * window
+    if (gh, gw) != (grid_h, grid_w):
+        xg = x.reshape(b, grid_h, grid_w, c)
+        xg = jnp.pad(xg, ((0, 0), (0, gh - grid_h), (0, gw - grid_w), (0, 0)))
+        x = xg.reshape(b, gh * gw, c)
+    xw = window_partition(x, gh, gw, window)
+    out = block_fn(xw)
+    out = window_unpartition(out, b, gh, gw, window)
+    if (gh, gw) != (grid_h, grid_w):
+        out = out.reshape(b, gh, gw, c)[:, :grid_h, :grid_w].reshape(
+            b, grid_h * grid_w, c
+        )
+    return out
+
+
 def windowed_attention(
     x: jax.Array,  # [B, H*W, C]
     attn_fn,  # callable([Bw, T, C]) -> [Bw, T, C] (plain attention)

@@ -55,6 +55,27 @@ def test_upernet_head():
     assert out.shape == (2, 16, 16, 7)
 
 
+def test_windowed_adapter_blocks():
+    """window_attn flags per block (COCO recipe pattern T,T,F): shapes
+    hold, windowed output differs from all-global, non-divisible grids
+    pad internally."""
+    import dataclasses as dc
+
+    base = _small_cfg()
+    cfg_g = dc.replace(base, window_attn=None)
+    # grid is 4x4 at 64px/16; window 3 does not divide 4 -> pad path
+    cfg_w = dc.replace(base, window_attn=(True, False, True, False),
+                       window_size=3)
+    params = vit_adapter.init(cfg_g, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((1, 64, 64, 3), np.float32))
+    out_g = vit_adapter.apply(params, x, cfg_g)
+    out_w = vit_adapter.apply(params, x, cfg_w)
+    assert [f.shape for f in out_w] == [f.shape for f in out_g]
+    assert all(np.isfinite(np.asarray(f)).all() for f in out_w)
+    # restricting attention must change the features
+    assert np.abs(np.asarray(out_w[1]) - np.asarray(out_g[1])).max() > 1e-5
+
+
 def test_mask2former_segmentor_end_to_end():
     """ViT-Adapter pyramid -> MSDeformAttn pixel decoder -> Mask2Former."""
     cfg = segmentor.Mask2FormerSegmentorConfig(
