@@ -55,6 +55,7 @@ def _register_builtins() -> None:
 
     from metatransformer_tpu.models import (
         audio_classifier,
+        centerpoint,
         graph_predictor,
         hyper_classifier,
         image_classifier,
@@ -81,6 +82,7 @@ def _register_builtins() -> None:
         "TimeSeriesModel": time_series,
         "Segmentor": segmentor,  # ViT-Adapter + UperNet
         "SECONDNet": second,  # sparse-voxel 3D detector
+        "CenterPoint": centerpoint,  # anchor-free center-heatmap detector
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
