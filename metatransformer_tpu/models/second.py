@@ -130,8 +130,14 @@ def _down(st, p, stride, padding):
     return sp.batch_norm_relu(st, p["bn_scale"], p["bn_bias"])
 
 
-def voxel_backbone_8x(params: Dict[str, Any], st: sp.SparseTensor) -> sp.SparseTensor:
-    """VoxelBackBone8x: stem + 4 stages, spatial stride 8, depth 41->2."""
+def voxel_backbone_8x_ms(
+    params: Dict[str, Any], st: sp.SparseTensor
+) -> Tuple[sp.SparseTensor, Dict[str, sp.SparseTensor]]:
+    """VoxelBackBone8x returning the multi-scale stage outputs the
+    reference exposes as ``multi_scale_3d_features`` (x_conv2/3/4 at
+    strides 2/4/8, spconv_backbone.py:148-166) — consumed by two-stage
+    RoI heads (Voxel-RCNN)."""
+    ms: Dict[str, sp.SparseTensor] = {}
     rb = sp.build_lookup(st)  # indice_key='subm1' shared by stem+conv1
     st = _block(st, params["conv_input"], rb)
     st = _block(st, params["conv1"], rb)
@@ -139,19 +145,27 @@ def voxel_backbone_8x(params: Dict[str, Any], st: sp.SparseTensor) -> sp.SparseT
     rb = sp.build_lookup(st)
     st = _block(st, params["conv2_a"], rb)
     st = _block(st, params["conv2_b"], rb)
+    ms["x_conv2"] = st
     st = _down(st, params["conv3_down"], (2, 2, 2), (1, 1, 1))
     rb = sp.build_lookup(st)
     st = _block(st, params["conv3_a"], rb)
     st = _block(st, params["conv3_b"], rb)
+    ms["x_conv3"] = st
     st = _down(st, params["conv4_down"], (2, 2, 2), (0, 1, 1))
     rb = sp.build_lookup(st)
     st = _block(st, params["conv4_a"], rb)
     st = _block(st, params["conv4_b"], rb)
+    ms["x_conv4"] = st
     st = sp.sparse_conv3d(st, params["conv_out"]["w"], (2, 1, 1), (0, 0, 0))
     st = sp.batch_norm_relu(
         st, params["conv_out"]["bn_scale"], params["conv_out"]["bn_bias"]
     )
-    return st
+    return st, ms
+
+
+def voxel_backbone_8x(params: Dict[str, Any], st: sp.SparseTensor) -> sp.SparseTensor:
+    """VoxelBackBone8x: stem + 4 stages, spatial stride 8, depth 41->2."""
+    return voxel_backbone_8x_ms(params, st)[0]
 
 
 def height_compression(st: sp.SparseTensor) -> jax.Array:

@@ -68,6 +68,7 @@ def _register_builtins() -> None:
         tabular_classifier,
         time_series,
         video_classifier,
+        voxel_rcnn,
     )
 
     pairs = {
@@ -83,6 +84,7 @@ def _register_builtins() -> None:
         "Segmentor": segmentor,  # ViT-Adapter + UperNet
         "SECONDNet": second,  # sparse-voxel 3D detector
         "CenterPoint": centerpoint,  # anchor-free center-heatmap detector
+        "VoxelRCNN": voxel_rcnn,  # two-stage sparse-voxel detector
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
