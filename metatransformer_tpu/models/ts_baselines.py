@@ -1,10 +1,10 @@
 """Time-series baseline models (Time-Series-Library parity).
 
 The reference vendors 15 baselines alongside its MetaTransformer model
-(``Time-Series/models/``); the two most load-bearing are implemented
-natively: DLinear (decomposition + per-channel linear) and PatchTST
-(channel-independent patch transformer). The vanilla Transformer is
-``models.time_series`` itself.
+(``Time-Series/models/``); the most load-bearing are implemented
+natively: DLinear, PatchTST, Autoformer, Informer, TimesNet, FEDformer,
+Crossformer and the Nonstationary Transformer. The vanilla Transformer
+is ``models.time_series`` itself.
 """
 
 from __future__ import annotations
@@ -688,3 +688,592 @@ def timesnet_forecast(
     out = _lin(params["proj"], h, mm)
     out = out * stdev[:, 0][:, None] + means[:, 0][:, None]
     return out[:, -cfg.pred_len:]
+
+
+# ===========================================================================
+# FEDformer (Time-Series/models/FEDformer.py, fourier version +
+# layers/FourierCorrelation.py) — Autoformer topology with frequency-
+# domain self/cross attention.
+# ===========================================================================
+
+
+def frequency_modes(seq_len: int, modes: int, method: str = "low",
+                    seed: int = 0):
+    """Mode selection (FourierCorrelation.get_frequency_modes). The
+    reference defaults to 'random' (host-side numpy shuffle at build
+    time); 'low' keeps the lowest modes and is the deterministic
+    default here. Both are static at trace time."""
+    m = min(modes, seq_len // 2)
+    if method == "random":
+        idx = np.random.default_rng(seed).permutation(seq_len // 2)[:m]
+        return tuple(sorted(int(i) for i in idx))
+    return tuple(range(m))
+
+
+def _cmul(a_re, a_im, b_re, b_im, order):
+    """Complex einsum via real parts (compl_mul1d)."""
+    re = jnp.einsum(order, a_re, b_re) - jnp.einsum(order, a_im, b_im)
+    im = jnp.einsum(order, a_re, b_im) + jnp.einsum(order, a_im, b_re)
+    return re, im
+
+
+def fourier_block(q, w_re, w_im, index, seq_len):
+    """FourierBlock: rfft -> per-mode complex linear map -> irfft.
+    q: [B, L, H, E]; w: [H, E, E, M]. -> [B, L, H, E]."""
+    x = q.transpose(0, 2, 3, 1)  # [B, H, E, L]
+    xf = jnp.fft.rfft(x)  # [B, H, E, Lf] complex
+    idx = jnp.asarray(index, jnp.int32)
+    sel = xf[..., idx]  # [B, H, E, M]
+    o_re, o_im = _cmul(sel.real, sel.imag, w_re, w_im, "bhim,hiom->bhom")
+    lf = seq_len // 2 + 1
+    out = jnp.zeros(x.shape[:3] + (lf,), jnp.complex64)
+    out = out.at[..., idx].set(o_re + 1j * o_im)
+    y = jnp.fft.irfft(out, n=seq_len)  # [B, H, E, L]
+    return y.transpose(0, 3, 1, 2)
+
+
+def fourier_cross_attention(q, k, w_re, w_im, index_q, index_kv, seq_len_q):
+    """FourierCrossAttention: frequency-domain q/k correlation with tanh
+    activation, value = k modes (FourierCorrelation.py:121-161).
+    q: [B, Lq, H, E], k: [B, Lkv, H, E]."""
+    e = q.shape[-1]
+    xq = q.transpose(0, 2, 3, 1)
+    xk = k.transpose(0, 2, 3, 1)
+    iq = jnp.asarray(index_q, jnp.int32)
+    ikv = jnp.asarray(index_kv, jnp.int32)
+    qf = jnp.fft.rfft(xq)[..., iq]  # [B, H, E, Mq]
+    kf = jnp.fft.rfft(xk)[..., ikv]  # [B, H, E, Mkv]
+    s_re, s_im = _cmul(qf.real, qf.imag, kf.real, kf.imag, "bhex,bhey->bhxy")
+    s_re, s_im = jnp.tanh(s_re), jnp.tanh(s_im)
+    v_re, v_im = _cmul(s_re, s_im, kf.real, kf.imag, "bhxy,bhey->bhex")
+    o_re, o_im = _cmul(v_re, v_im, w_re, w_im, "bhex,heox->bhox")
+    lf = seq_len_q // 2 + 1
+    out = jnp.zeros(xq.shape[:3] + (lf,), jnp.complex64)
+    out = out.at[..., iq].set((o_re + 1j * o_im))
+    scale = 1.0 / (e * q.shape[2] * e * q.shape[2])  # 1/(in_ch*out_ch)
+    y = jnp.fft.irfft(out * scale, n=seq_len_q)
+    return y.transpose(0, 3, 1, 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class FEDformerConfig:
+    seq_len: int = 96
+    label_len: int = 48
+    pred_len: int = 96
+    enc_in: int = 7
+    dec_in: int = 7
+    c_out: int = 7
+    d_model: int = 64
+    n_heads: int = 8
+    d_ff: int = 128
+    e_layers: int = 2
+    d_layers: int = 1
+    moving_avg: int = 25
+    modes: int = 32
+    mode_select: str = "low"
+    freq: str = "h"
+
+    @property
+    def dec_len(self) -> int:
+        return self.seq_len // 2 + self.pred_len
+
+    @property
+    def enc_embed(self):
+        return _tst.TimeSeriesConfig(
+            c_in=self.enc_in, dim=self.d_model, freq=self.freq,
+            embed_type="timeF", use_pos=False,
+        )
+
+    @property
+    def dec_embed(self):
+        return dataclasses.replace(self.enc_embed, c_in=self.dec_in)
+
+
+def _fourier_w(key, h, e, m):
+    scale = 1.0 / ((h * e) * (h * e))
+    k1, k2 = jax.random.split(key)
+    return {
+        "re": jax.random.uniform(k1, (h, e, e, m)) * scale,
+        "im": jax.random.uniform(k2, (h, e, e, m)) * scale,
+    }
+
+
+def fedformer_init(cfg: FEDformerConfig, key: jax.Array) -> Dict[str, Any]:
+    h, e = cfg.n_heads, cfg.d_model // cfg.n_heads
+    enc_idx = frequency_modes(cfg.seq_len, cfg.modes, cfg.mode_select)
+    dec_idx = frequency_modes(cfg.dec_len, cfg.modes, cfg.mode_select)
+    ks = iter(jax.random.split(key, 16 + 4 * (cfg.e_layers + cfg.d_layers)))
+    params: Dict[str, Any] = {
+        "enc_embed": _tst.init(cfg.enc_embed, next(ks)),
+        "dec_embed": _tst.init(cfg.dec_embed, next(ks)),
+        "enc_norm_scale": jnp.ones((cfg.d_model,)),
+        "enc_norm_bias": jnp.zeros((cfg.d_model,)),
+        "dec_norm_scale": jnp.ones((cfg.d_model,)),
+        "dec_norm_bias": jnp.zeros((cfg.d_model,)),
+        "dec_proj": _linear_init(next(ks), cfg.d_model, cfg.c_out),
+    }
+    els = []
+    for _ in range(cfg.e_layers):
+        kk = jax.random.split(next(ks), 4)
+        els.append({
+            "attn": _attn_layer_init(kk[0], cfg.d_model, cfg.n_heads),
+            "fb": _fourier_w(kk[1], h, e, len(enc_idx)),
+            "ff1": _linear_init(kk[2], cfg.d_model, cfg.d_ff, bias=False),
+            "ff2": _linear_init(kk[3], cfg.d_ff, cfg.d_model, bias=False),
+        })
+    params["enc_layers"] = els
+    dls = []
+    for _ in range(cfg.d_layers):
+        kk = jax.random.split(next(ks), 7)
+        dls.append({
+            "self": _attn_layer_init(kk[0], cfg.d_model, cfg.n_heads),
+            "self_fb": _fourier_w(kk[1], h, e, len(dec_idx)),
+            "cross": _attn_layer_init(kk[2], cfg.d_model, cfg.n_heads),
+            "cross_fb": _fourier_w(kk[3], h, e, len(dec_idx)),
+            "ff1": _linear_init(kk[4], cfg.d_model, cfg.d_ff, bias=False),
+            "ff2": _linear_init(kk[5], cfg.d_ff, cfg.d_model, bias=False),
+            "trend_w": jax.random.normal(kk[6], (3 * cfg.d_model, cfg.c_out))
+            * (3 * cfg.d_model) ** -0.5,
+        })
+    params["dec_layers"] = dls
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fedformer_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,
+    x_mark_enc: jax.Array,
+    x_mark_dec: jax.Array,  # [B, label_len+pred_len, n_timef]
+    cfg: FEDformerConfig,
+) -> jax.Array:
+    """FEDformer forecast -> [B, pred_len, c_out] (Model.forecast).
+    NB the decoder operates on seq_len//2 + pred_len tokens (its
+    seasonal/trend init takes the LAST seq_len//2 of the encoder window,
+    FEDformer.py:115-121 with label_len = seq_len//2 in the recipes)."""
+    mm = jax.lax.Precision.HIGHEST
+    b = x_enc.shape[0]
+    half = cfg.seq_len // 2
+    enc_idx = frequency_modes(cfg.seq_len, cfg.modes, cfg.mode_select)
+    dec_idx = frequency_modes(cfg.dec_len, cfg.modes, cfg.mode_select)
+
+    mean = jnp.mean(x_enc, 1, keepdims=True)
+    seasonal_init, trend_init = series_decomp(x_enc, cfg.moving_avg)
+    trend = jnp.concatenate(
+        [trend_init[:, -half:], jnp.tile(mean, (1, cfg.pred_len, 1))], 1
+    )
+    seasonal = jnp.concatenate(
+        [seasonal_init[:, -half:],
+         jnp.zeros((b, cfg.pred_len, cfg.dec_in), x_enc.dtype)], 1,
+    )
+
+    x = _tst.apply(params["enc_embed"], x_enc, cfg.enc_embed, x_mark_enc, mm)
+    for lp in params["enc_layers"]:
+        q, k, v = _proj_qkv(lp["attn"], x, x, x, cfg.n_heads, mm)
+        a = fourier_block(q, lp["fb"]["re"], lp["fb"]["im"], enc_idx,
+                          cfg.seq_len).reshape(x.shape)
+        x = x + _lin(lp["attn"]["o"], a, mm)
+        x, _ = series_decomp(x, cfg.moving_avg)
+        y = jax.nn.relu(_lin(lp["ff1"], x, mm))
+        y = _lin(lp["ff2"], y, mm)
+        x, _ = series_decomp(x + y, cfg.moving_avg)
+    enc_out = my_layer_norm(x, params["enc_norm_scale"], params["enc_norm_bias"])
+
+    x = _tst.apply(params["dec_embed"], seasonal, cfg.dec_embed,
+                   x_mark_dec[:, -cfg.dec_len:], mm)
+    for lp in params["dec_layers"]:
+        q, k, v = _proj_qkv(lp["self"], x, x, x, cfg.n_heads, mm)
+        a = fourier_block(q, lp["self_fb"]["re"], lp["self_fb"]["im"],
+                          dec_idx, cfg.dec_len).reshape(x.shape)
+        x = x + _lin(lp["self"]["o"], a, mm)
+        x, t1 = series_decomp(x, cfg.moving_avg)
+        q, k, v = _proj_qkv(lp["cross"], x, enc_out, enc_out, cfg.n_heads, mm)
+        a = fourier_cross_attention(
+            q, k, lp["cross_fb"]["re"], lp["cross_fb"]["im"],
+            dec_idx, enc_idx, cfg.dec_len,
+        ).reshape(x.shape)
+        x = x + _lin(lp["cross"]["o"], a, mm)
+        x, t2 = series_decomp(x, cfg.moving_avg)
+        y = jax.nn.relu(_lin(lp["ff1"], x, mm))
+        y = _lin(lp["ff2"], y, mm)
+        x, t3 = series_decomp(x + y, cfg.moving_avg)
+        trend = trend + _circular_conv3(t1 + t2 + t3, lp["trend_w"], mm)
+    x = my_layer_norm(x, params["dec_norm_scale"], params["dec_norm_bias"])
+    out = _lin(params["dec_proj"], x, mm) + trend
+    return out[:, -cfg.pred_len:]
+
+
+# ===========================================================================
+# Nonstationary Transformer (models/Nonstationary_Transformer.py +
+# DSAttention, SelfAttention_Family.py:10-45)
+# ===========================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class NonstationaryConfig:
+    seq_len: int = 96
+    label_len: int = 48
+    pred_len: int = 96
+    enc_in: int = 7
+    dec_in: int = 7
+    c_out: int = 7
+    d_model: int = 64
+    n_heads: int = 4
+    d_ff: int = 128
+    e_layers: int = 2
+    d_layers: int = 1
+    p_hidden: int = 32  # p_hidden_dims
+    p_layers: int = 2  # p_hidden_layers
+    freq: str = "h"
+
+    @property
+    def enc_embed(self):
+        return _tst.TimeSeriesConfig(
+            c_in=self.enc_in, dim=self.d_model, freq=self.freq,
+            embed_type="timeF", use_pos=True,  # full DataEmbedding
+        )
+
+    @property
+    def dec_embed(self):
+        return dataclasses.replace(self.enc_embed, c_in=self.dec_in)
+
+
+def _projector_init(key, enc_in, p_hidden, p_layers, out_dim):
+    """De-stationary factor MLP (Projector): circular conv over the
+    feature axis with the seq_len as channels, then an MLP."""
+    ks = iter(jax.random.split(key, p_layers + 2))
+    p = {"conv_w": jax.random.normal(next(ks), (3,)) / np.sqrt(3.0)}
+    cin = 2 * enc_in
+    layers = []
+    for _ in range(p_layers):
+        layers.append(_linear_init(next(ks), cin, p_hidden))
+        cin = p_hidden
+    p["mlp"] = layers
+    p["out"] = _linear_init(next(ks), cin, out_dim, bias=False)
+    return p
+
+
+def _projector_apply(p, x_raw, stats, seq_w, mm):
+    """x_raw [B, S, E], stats [B, 1, E] -> [B, out_dim].
+    series_conv is Conv1d(in=seq_len, out=1, k=3, circular) over the
+    feature axis; its weight over time is `seq_w` [S, 3]."""
+    xm = jnp.stack(
+        [jnp.roll(x_raw, 1, axis=2), x_raw, jnp.roll(x_raw, -1, axis=2)], -1
+    )  # [B, S, E, 3]
+    conv = jnp.einsum("bsek,sk->be", xm, seq_w, precision=mm)  # [B, E]
+    h = jnp.concatenate([conv, stats[:, 0]], axis=-1)  # [B, 2E]
+    for lp in p["mlp"]:
+        h = jax.nn.relu(_lin(lp, h, mm))
+    return _lin(p["out"], h, mm)
+
+
+def ds_attention(q, k, v, tau, delta, causal, mm):
+    """De-stationary attention: scores * tau + delta before softmax
+    (DSAttention.forward). q [B, L, H, E]; tau [B, 1]; delta [B, S]|None."""
+    e = q.shape[-1]
+    scores = jnp.einsum("blhe,bshe->bhls", q, k, precision=mm)
+    scores = scores * tau[:, :, None, None]
+    if delta is not None:
+        scores = scores + delta[:, None, None, :]
+    if causal:
+        l, s = scores.shape[-2:]
+        mask = jnp.tril(jnp.ones((l, s), bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    a = jax.nn.softmax(scores / np.sqrt(e), axis=-1)
+    return jnp.einsum("bhls,bshe->blhe", a, v, precision=mm)
+
+
+def _ns_layer_init(key, cfg, cross=False):
+    n = 5 if cross else 3
+    kk = jax.random.split(key, n)
+    p = {
+        "self": _attn_layer_init(kk[0], cfg.d_model, cfg.n_heads),
+        "ff1": _linear_init(kk[1], cfg.d_model, cfg.d_ff, bias=False),
+        "ff2": _linear_init(kk[2], cfg.d_ff, cfg.d_model, bias=False),
+        "ln1_scale": jnp.ones((cfg.d_model,)),
+        "ln1_bias": jnp.zeros((cfg.d_model,)),
+        "ln2_scale": jnp.ones((cfg.d_model,)),
+        "ln2_bias": jnp.zeros((cfg.d_model,)),
+    }
+    if cross:
+        p["cross"] = _attn_layer_init(kk[3], cfg.d_model, cfg.n_heads)
+        p["ln3_scale"] = jnp.ones((cfg.d_model,))
+        p["ln3_bias"] = jnp.zeros((cfg.d_model,))
+    return p
+
+
+def nonstationary_init(cfg: NonstationaryConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 8 + cfg.e_layers + cfg.d_layers))
+    return {
+        "enc_embed": _tst.init(cfg.enc_embed, next(ks)),
+        "dec_embed": _tst.init(cfg.dec_embed, next(ks)),
+        "enc_layers": [
+            _ns_layer_init(next(ks), cfg) for _ in range(cfg.e_layers)
+        ],
+        "dec_layers": [
+            _ns_layer_init(next(ks), cfg, cross=True)
+            for _ in range(cfg.d_layers)
+        ],
+        "enc_norm_scale": jnp.ones((cfg.d_model,)),
+        "enc_norm_bias": jnp.zeros((cfg.d_model,)),
+        "dec_norm_scale": jnp.ones((cfg.d_model,)),
+        "dec_norm_bias": jnp.zeros((cfg.d_model,)),
+        "proj": _linear_init(next(ks), cfg.d_model, cfg.c_out),
+        "tau": _projector_init(next(ks), cfg.enc_in, cfg.p_hidden,
+                               cfg.p_layers, 1),
+        "tau_conv_w": jax.random.normal(next(ks), (cfg.seq_len, 3))
+        / np.sqrt(3.0 * cfg.seq_len),
+        "delta": _projector_init(next(ks), cfg.enc_in, cfg.p_hidden,
+                                 cfg.p_layers, cfg.seq_len),
+        "delta_conv_w": jax.random.normal(next(ks), (cfg.seq_len, 3))
+        / np.sqrt(3.0 * cfg.seq_len),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def nonstationary_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,
+    x_mark_enc: jax.Array,
+    x_mark_dec: jax.Array,  # [B, label_len+pred_len, n_timef]
+    cfg: NonstationaryConfig,
+) -> jax.Array:
+    """Nonstationary Transformer forecast -> [B, pred_len, c_out]
+    (Model.forecast: series normalization, learned tau/delta
+    de-stationary factors, DSAttention enc-dec, de-normalize)."""
+    mm = jax.lax.Precision.HIGHEST
+    x_raw = x_enc
+    mean = jnp.mean(x_enc, 1, keepdims=True)
+    xc = x_enc - mean
+    std = jnp.sqrt(jnp.var(xc, axis=1, keepdims=True) + 1e-5)
+    xc = xc / std
+    mean = jax.lax.stop_gradient(mean)
+    std = jax.lax.stop_gradient(std)
+
+    tau = jnp.exp(
+        _projector_apply(params["tau"], x_raw, std, params["tau_conv_w"], mm)
+    )  # [B, 1]
+    delta = _projector_apply(
+        params["delta"], x_raw, mean, params["delta_conv_w"], mm
+    )  # [B, seq_len]
+
+    x_dec = jnp.concatenate(
+        [xc[:, -cfg.label_len:],
+         jnp.zeros((xc.shape[0], cfg.pred_len, cfg.dec_in), xc.dtype)], 1,
+    )
+
+    x = _tst.apply(params["enc_embed"], xc, cfg.enc_embed, x_mark_enc, mm)
+    for lp in params["enc_layers"]:
+        q, k, v = _proj_qkv(lp["self"], x, x, x, cfg.n_heads, mm)
+        a = ds_attention(q, k, v, tau, delta, False, mm).reshape(x.shape)
+        x = _ln_plain(x + _lin(lp["self"]["o"], a, mm),
+                      lp["ln1_scale"], lp["ln1_bias"])
+        y = jax.nn.relu(_lin(lp["ff1"], x, mm))
+        x = _ln_plain(x + _lin(lp["ff2"], y, mm),
+                      lp["ln2_scale"], lp["ln2_bias"])
+    enc_out = _ln_plain(x, params["enc_norm_scale"], params["enc_norm_bias"])
+
+    x = _tst.apply(params["dec_embed"], x_dec, cfg.dec_embed, x_mark_dec, mm)
+    for lp in params["dec_layers"]:
+        q, k, v = _proj_qkv(lp["self"], x, x, x, cfg.n_heads, mm)
+        # decoder self-attn: causal, tau only (delta=None, Decoder x_mask path)
+        a = ds_attention(q, k, v, tau, None, True, mm).reshape(x.shape)
+        x = _ln_plain(x + _lin(lp["self"]["o"], a, mm),
+                      lp["ln1_scale"], lp["ln1_bias"])
+        q, k, v = _proj_qkv(lp["cross"], x, enc_out, enc_out, cfg.n_heads, mm)
+        a = ds_attention(q, k, v, tau, delta, False, mm).reshape(x.shape)
+        x = _ln_plain(x + _lin(lp["cross"]["o"], a, mm),
+                      lp["ln3_scale"], lp["ln3_bias"])
+        y = jax.nn.relu(_lin(lp["ff1"], x, mm))
+        x = _ln_plain(x + _lin(lp["ff2"], y, mm),
+                      lp["ln2_scale"], lp["ln2_bias"])
+    x = _ln_plain(x, params["dec_norm_scale"], params["dec_norm_bias"])
+    out = _lin(params["proj"], x, mm)
+    out = out * std + mean  # de-normalize
+    return out[:, -cfg.pred_len:]
+
+
+# ===========================================================================
+# Crossformer (models/Crossformer.py + Crossformer_EncDec.py +
+# TwoStageAttentionLayer, SelfAttention_Family.py:246-302)
+# ===========================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossformerConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    d_model: int = 64
+    n_heads: int = 4
+    d_ff: int = 128
+    e_layers: int = 2
+    seg_len: int = 12
+    win_size: int = 2
+    factor: int = 10  # router slots
+
+    @property
+    def pad_in_len(self) -> int:
+        return -(-self.seq_len // self.seg_len) * self.seg_len
+
+    @property
+    def pad_out_len(self) -> int:
+        return -(-self.pred_len // self.seg_len) * self.seg_len
+
+    @property
+    def in_seg(self) -> int:
+        return self.pad_in_len // self.seg_len
+
+    @property
+    def out_seg(self) -> int:
+        return self.pad_out_len // self.seg_len
+
+    def seg_at(self, layer: int) -> int:
+        s = self.in_seg
+        for _ in range(layer):
+            s = -(-s // self.win_size)
+        return s
+
+
+def _full_attention(p, q_in, k_in, v_in, n_heads, mm):
+    """Standard MHA used by the TSA stages (FullAttention)."""
+    q, k, v = _proj_qkv(p, q_in, k_in, v_in, n_heads, mm)
+    e = q.shape[-1]
+    s = jnp.einsum("blhe,bshe->bhls", q, k, precision=mm) / np.sqrt(e)
+    a = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhls,bshe->blhe", a, v, precision=mm)
+    return _lin(p["o"], o.reshape(q_in.shape[0], q_in.shape[1], -1), mm)
+
+
+def _tsa_init(key, cfg: CrossformerConfig, seg_num: int):
+    kk = jax.random.split(key, 8)
+    d = cfg.d_model
+    return {
+        "time": _attn_layer_init(kk[0], d, cfg.n_heads),
+        "send": _attn_layer_init(kk[1], d, cfg.n_heads),
+        "recv": _attn_layer_init(kk[2], d, cfg.n_heads),
+        "router": jax.random.normal(kk[3], (seg_num, cfg.factor, d)),
+        "mlp1_a": _linear_init(kk[4], d, cfg.d_ff),
+        "mlp1_b": _linear_init(kk[5], cfg.d_ff, d),
+        "mlp2_a": _linear_init(kk[6], d, cfg.d_ff),
+        "mlp2_b": _linear_init(kk[7], cfg.d_ff, d),
+        **{f"ln{i}_scale": jnp.ones((d,)) for i in range(1, 5)},
+        **{f"ln{i}_bias": jnp.zeros((d,)) for i in range(1, 5)},
+    }
+
+
+def _tsa_apply(p, x, cfg: CrossformerConfig, mm):
+    """Two-Stage Attention: time attention per variable, then
+    router-mediated cross-dimension attention. x [B, D, S, dm]."""
+    b, d, s, dm = x.shape
+    t_in = x.reshape(b * d, s, dm)
+    t = _full_attention(p["time"], t_in, t_in, t_in, cfg.n_heads, mm)
+    h = _ln_plain(t_in + t, p["ln1_scale"], p["ln1_bias"])
+    y = _lin(p["mlp1_b"], jax.nn.gelu(_lin(p["mlp1_a"], h, mm)), mm)
+    h = _ln_plain(h + y, p["ln2_scale"], p["ln2_bias"])
+
+    send = h.reshape(b, d, s, dm).transpose(0, 2, 1, 3).reshape(b * s, d, dm)
+    router = jnp.tile(p["router"][:s][None], (b, 1, 1, 1)).reshape(
+        b * s, cfg.factor, dm
+    )
+    buf = _full_attention(p["send"], router, send, send, cfg.n_heads, mm)
+    recv = _full_attention(p["recv"], send, buf, buf, cfg.n_heads, mm)
+    g = _ln_plain(send + recv, p["ln3_scale"], p["ln3_bias"])
+    y = _lin(p["mlp2_b"], jax.nn.gelu(_lin(p["mlp2_a"], g, mm)), mm)
+    g = _ln_plain(g + y, p["ln4_scale"], p["ln4_bias"])
+    return g.reshape(b, s, d, dm).transpose(0, 2, 1, 3)
+
+
+def crossformer_init(cfg: CrossformerConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 16 + 4 * cfg.e_layers))
+    d = cfg.d_model
+    params: Dict[str, Any] = {
+        "val_embed": _linear_init(next(ks), cfg.seg_len, d),
+        "enc_pos": jax.random.normal(next(ks), (1, cfg.enc_in, cfg.in_seg, d)),
+        "pre_ln_scale": jnp.ones((d,)),
+        "pre_ln_bias": jnp.zeros((d,)),
+        "dec_pos": jax.random.normal(next(ks), (1, cfg.enc_in, cfg.out_seg, d)),
+    }
+    blocks = []
+    for l in range(cfg.e_layers):
+        blk = {"tsa": _tsa_init(next(ks), cfg, cfg.seg_at(l))}
+        if l > 0:
+            kk = jax.random.split(next(ks), 1)[0]
+            blk["merge"] = _linear_init(kk, cfg.win_size * d, d)
+            blk["merge_ln_scale"] = jnp.ones((cfg.win_size * d,))
+            blk["merge_ln_bias"] = jnp.zeros((cfg.win_size * d,))
+        blocks.append(blk)
+    params["enc_blocks"] = blocks
+    decs = []
+    for _ in range(cfg.e_layers + 1):
+        kk = jax.random.split(next(ks), 4)
+        decs.append({
+            "tsa": _tsa_init(kk[0], cfg, cfg.out_seg),
+            "cross": _attn_layer_init(kk[1], d, cfg.n_heads),
+            "mlp_a": _linear_init(kk[2], d, d),
+            "mlp_b": _linear_init(kk[3], d, d),
+            "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+            "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+            "pred": _linear_init(jax.random.split(kk[3])[0], d, cfg.seg_len),
+        })
+    params["dec_layers"] = decs
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def crossformer_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,  # [B, seq_len, enc_in]
+    cfg: CrossformerConfig,
+) -> jax.Array:
+    """Crossformer forecast -> [B, pred_len, enc_in] (Model.forecast:
+    per-variable segment embedding, hierarchical TSA encoder with
+    segment merging, per-scale decoder summing segment predictions)."""
+    mm = jax.lax.Precision.HIGHEST
+    b, l, d_in = x_enc.shape
+    pad = cfg.pad_in_len - l
+    if pad:  # replication-pad the front window (PatchEmbedding)
+        x_enc = jnp.concatenate(
+            [x_enc, jnp.tile(x_enc[:, -1:], (1, pad, 1))], axis=1
+        )
+    segs = x_enc.transpose(0, 2, 1).reshape(
+        b, d_in, cfg.in_seg, cfg.seg_len
+    )
+    x = _lin(params["val_embed"], segs, mm)  # [B, D, S, dm]
+    x = x + params["enc_pos"]
+    x = _ln_plain(x, params["pre_ln_scale"], params["pre_ln_bias"])
+
+    scales = [x]
+    for li, blk in enumerate(params["enc_blocks"]):
+        if li > 0:  # SegMerging
+            bb, dd, ss, dm = x.shape
+            w = cfg.win_size
+            padn = (-ss) % w
+            if padn:
+                x = jnp.concatenate([x, x[:, :, -padn:]], axis=2)
+                ss += padn
+            merged = jnp.concatenate(
+                [x[:, :, i::w] for i in range(w)], axis=-1
+            )
+            merged = _ln_plain(
+                merged, blk["merge_ln_scale"], blk["merge_ln_bias"]
+            )
+            x = _lin(blk["merge"], merged, mm)
+        x = _tsa_apply(blk["tsa"], x, cfg, mm)
+        scales.append(x)
+
+    dec = jnp.tile(params["dec_pos"], (b, 1, 1, 1))
+    predict = 0.0
+    for lp, cross in zip(params["dec_layers"], scales):
+        dec = _tsa_apply(lp["tsa"], dec, cfg, mm)
+        bb, dd, ss, dm = dec.shape
+        q = dec.reshape(bb * dd, ss, dm)
+        kv = cross.reshape(bb * dd, -1, dm)
+        tmp = _full_attention(lp["cross"], q, kv, kv, cfg.n_heads, mm)
+        h = _ln_plain(q + tmp, lp["ln1_scale"], lp["ln1_bias"])
+        y = _lin(lp["mlp_b"], jax.nn.gelu(_lin(lp["mlp_a"], h, mm)), mm)
+        h = _ln_plain(h + y, lp["ln2_scale"], lp["ln2_bias"])
+        dec = h.reshape(bb, dd, ss, dm)
+        predict = predict + _lin(lp["pred"], dec, mm)  # [B, D, S, seg]
+    out = predict.reshape(b, d_in, -1).transpose(0, 2, 1)
+    return out[:, : cfg.pred_len]
