@@ -141,6 +141,7 @@ def voxel_backbone_8x_ms(
     rb = sp.build_lookup(st)  # indice_key='subm1' shared by stem+conv1
     st = _block(st, params["conv_input"], rb)
     st = _block(st, params["conv1"], rb)
+    ms["x_conv1"] = st
     st = _down(st, params["conv2_down"], (2, 2, 2), (1, 1, 1))
     rb = sp.build_lookup(st)
     st = _block(st, params["conv2_a"], rb)

@@ -422,7 +422,8 @@ def forward_stage1(
     cfg: VoxelRCNNConfig,
     points_mask: jax.Array = None,
 ):
-    """points -> (anchor-head preds, multi-scale sparse features)."""
+    """points -> (anchor-head preds, multi-scale sparse features,
+    BEV feature map [B, H, W, C])."""
     s1 = cfg.stage1
     if points_mask is None:
         points_mask = jnp.ones(points.shape[:2], bool)
@@ -445,7 +446,7 @@ def forward_stage1(
         "box_deltas": box.reshape(b, -1, s1.box_code),
         "dir_logits": dirc.reshape(b, -1, s1.dir_bins),
     }
-    return preds, ms
+    return preds, ms, feat
 
 
 def training_loss(
@@ -459,7 +460,7 @@ def training_loss(
 ):
     """Joint stage-1 (anchor losses) + stage-2 (rcnn losses) objective
     (detectors/voxel_rcnn.py get_training_loss: loss_rpn + loss_rcnn)."""
-    preds, ms = forward_stage1(params, points, cfg, points_mask)
+    preds, ms, _ = forward_stage1(params, points, cfg, points_mask)
     rpn_loss, rpn_logs = second.detection_loss(
         preds, anchors, gt_boxes, gt_valid, cfg.stage1
     )
@@ -517,7 +518,7 @@ def predict(
     points_mask: jax.Array = None,
 ) -> List[Dict[str, np.ndarray]]:
     """Two-stage inference: propose -> pool -> refine -> final NMS."""
-    preds, ms = forward_stage1(params, points, cfg, points_mask)
+    preds, ms, _ = forward_stage1(params, points, cfg, points_mask)
     rois, roi_scores, roi_valid = propose(preds, anchors, cfg)
     pooled = roi_grid_pool(params, ms, rois, cfg)
     rcnn_cls, rcnn_reg = refine(params, pooled, cfg)

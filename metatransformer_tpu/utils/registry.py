@@ -63,6 +63,7 @@ def _register_builtins() -> None:
         point_classifier,
         point_multiview,
         point_segmenter,
+        pv_rcnn,
         second,
         segmentor,
         tabular_classifier,
@@ -85,6 +86,7 @@ def _register_builtins() -> None:
         "SECONDNet": second,  # sparse-voxel 3D detector
         "CenterPoint": centerpoint,  # anchor-free center-heatmap detector
         "VoxelRCNN": voxel_rcnn,  # two-stage sparse-voxel detector
+        "PVRCNN": pv_rcnn,  # point-voxel two-stage detector
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,

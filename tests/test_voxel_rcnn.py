@@ -132,7 +132,8 @@ def test_voxel_rcnn_end_to_end_small():
     pts[0, :, 3] = rng.uniform(0, 1, 128)
     anchors = jnp.asarray(second.generate_anchors(cfg.stage1))
 
-    preds, ms = vr.forward_stage1(params, jnp.asarray(pts), cfg)
+    preds, ms, bev = vr.forward_stage1(params, jnp.asarray(pts), cfg)
+    assert bev.ndim == 4
     assert set(ms) >= {"x_conv2", "x_conv3"}
     rois, scores, valid = vr.propose(preds, anchors, cfg)
     assert rois.shape == (1, cfg.num_rois, 7)
