@@ -70,8 +70,11 @@ def _kernel(
     ln_eps: float,
     scale: float,
 ):
-    x = x_ref[0]  # [Tp, D]
-    d = x.shape[-1]
+    # N samples per program: the row-parallel parts (LN, QKV, proj) run
+    # on [N*Tp, D] slabs — fewer, fatter MXU calls (measured -2.5% vs
+    # one sample per program at T=197); attention stays per-sample.
+    n, t, d = x_ref.shape
+    x = x_ref[:].reshape(n * t, d)
 
     # LayerNorm (fp32 accumulation, like core.encoder.layer_norm).
     xf = x.astype(jnp.float32)
@@ -81,45 +84,48 @@ def _kernel(
     xn = xn * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
     xn = xn.astype(x.dtype)
 
-    # Fused QKV projection: [Tp, D] @ [D, 3D] on the MXU (bf16 in, f32 acc).
+    # Fused QKV projection: [N*Tp, D] @ [D, 3D] on the MXU (bf16 in, f32 acc).
     qkv = jax.lax.dot_general(
         xn, wqkv_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)  # [Tp, 3D]
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)  # [N*Tp, 3D]
 
-    bias_row = bias_ref[0]  # [1, Tp] fp32 additive key mask
-
-    outs = []
-    for h in range(num_heads):  # static unroll; num_heads is 12/16
-        lo = h * head_dim
-        # scale folded into q ([Tp, hd]) — cheaper than scaling [Tp, Tp]
-        q = qkv[:, lo : lo + head_dim].astype(jnp.float32) * scale
-        k = qkv[:, d + lo : d + lo + head_dim]
-        v = qkv[:, 2 * d + lo : 2 * d + lo + head_dim]
-        s = (
-            jax.lax.dot_general(
-                q.astype(x.dtype), k, (((1,), (1,)), ((), ())),
+    souts = []
+    for s_i in range(n):  # static unroll; N <= 4
+        bias_row = bias_ref[s_i]  # [1, Tp] fp32 additive key mask
+        sl = qkv[s_i * t : (s_i + 1) * t]
+        outs = []
+        for h in range(num_heads):  # static unroll; num_heads is 12/16
+            lo = h * head_dim
+            # scale folded into q ([Tp, hd]) — cheaper than on [Tp, Tp]
+            q = sl[:, lo : lo + head_dim].astype(jnp.float32) * scale
+            k = sl[:, d + lo : d + lo + head_dim]
+            v = sl[:, 2 * d + lo : 2 * d + lo + head_dim]
+            s = (
+                jax.lax.dot_general(
+                    q.astype(x.dtype), k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias_row
+            )  # [Tp, Tp] fp32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)  # [Tp, 1]
+            o = jax.lax.dot_general(
+                p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            + bias_row
-        )  # [Tp, Tp] fp32
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)  # [Tp, 1]
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # normalize on the [Tp, hd] output instead of the [Tp, Tp] probs
-        outs.append((o / l).astype(x.dtype))
-    o = jnp.concatenate(outs, axis=-1)  # [Tp, D]
+            # normalize the [Tp, hd] output instead of the [Tp, Tp] probs
+            outs.append((o / l).astype(x.dtype))
+        souts.append(jnp.concatenate(outs, axis=-1))
+    o = jnp.concatenate(souts, axis=0)  # [N*Tp, D]
 
     delta = jax.lax.dot_general(
         o, wproj_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0].astype(jnp.float32)
-    o_ref[0] = x + delta.astype(x.dtype)
+    o_ref[:] = (x + delta.astype(x.dtype)).reshape(n, t, d)
 
 
 def _reference_sublayer(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
@@ -163,6 +169,9 @@ def _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
     # ms/12-layer pass at T=197 (padding to 256 wastes +30% matmul rows and
     # +70% softmax area; Mosaic's internal sublane/lane padding is cheaper).
     tp = t
+    # samples per program: fatter row-parallel matmuls (see _kernel);
+    # 4 measured best at T=197, B=128 (13.9 -> 13.5 ms/12-layer pass)
+    n_per = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
 
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
@@ -173,19 +182,19 @@ def _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
             ln_eps=float(ln_eps),
             scale=float(hd) ** -0.5,
         ),
-        grid=(b,),
+        grid=(b // n_per,),
         in_specs=[
-            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, 1, tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (n_per, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
         interpret=interpret,
