@@ -1277,3 +1277,436 @@ def crossformer_forecast(
         predict = predict + _lin(lp["pred"], dec, mm)  # [B, D, S, seg]
     out = predict.reshape(b, d_in, -1).transpose(0, 2, 1)
     return out[:, : cfg.pred_len]
+
+
+# ===========================================================================
+# LightTS (models/LightTS.py) — MLP over continuous + interval chunk
+# samplings with a linear autoregressive highway.
+# ===========================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class LightTSConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    d_model: int = 64
+    chunk_size: int = 24
+
+    @property
+    def chunk(self) -> int:
+        return min(self.pred_len, self.seq_len, self.chunk_size)
+
+    @property
+    def num_chunks(self) -> int:
+        assert self.seq_len % self.chunk == 0
+        return self.seq_len // self.chunk
+
+
+def _ie_block_init(key, input_dim, hid, output_dim, num_node):
+    ks = jax.random.split(key, 4)
+    return {
+        "sp_a": _linear_init(ks[0], input_dim, hid),
+        "sp_b": _linear_init(ks[1], hid, hid // 4),
+        # channel_proj is identity-initialized (LightTS.py:24-25)
+        "ch": {"w": jnp.eye(num_node), "b": jnp.zeros((num_node,))},
+        "out": _linear_init(ks[3], hid // 4, output_dim),
+    }
+
+
+def _ie_block(p, x, mm):
+    """IEBlock: x [B', input_dim, num_node] -> [B', output_dim, num_node]."""
+    h = x.transpose(0, 2, 1)  # [B', node, in]
+    h = jax.nn.leaky_relu(_lin(p["sp_a"], h, mm), 0.01)
+    h = _lin(p["sp_b"], h, mm)  # [B', node, hid/4]
+    h = h.transpose(0, 2, 1)  # [B', hid/4, node]
+    h = h + _lin(p["ch"], h, mm)
+    h = _lin(p["out"], h.transpose(0, 2, 1), mm)  # [B', node, out]
+    return h.transpose(0, 2, 1)
+
+
+def lightts_init(cfg: LightTSConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = jax.random.split(key, 6)
+    d = cfg.d_model
+    return {
+        "layer1": _ie_block_init(ks[0], cfg.chunk, d // 4, d // 4, cfg.num_chunks),
+        "proj1": _linear_init(ks[1], cfg.num_chunks, 1),
+        "layer2": _ie_block_init(ks[2], cfg.chunk, d // 4, d // 4, cfg.num_chunks),
+        "proj2": _linear_init(ks[3], cfg.num_chunks, 1),
+        "layer3": _ie_block_init(ks[4], d // 2, d // 2, cfg.pred_len, cfg.enc_in),
+        "ar": _linear_init(ks[5], cfg.seq_len, cfg.pred_len),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lightts_forecast(
+    params: Dict[str, Any], x: jax.Array, cfg: LightTSConfig
+) -> jax.Array:
+    """x [B, seq_len, C] -> [B, pred_len, C] (Model.encoder)."""
+    mm = jax.lax.Precision.HIGHEST
+    b, t, n = x.shape
+    c, nc = cfg.chunk, cfg.num_chunks
+    highway = _lin(params["ar"], x.transpose(0, 2, 1), mm).transpose(0, 2, 1)
+
+    # continuous sampling: [B, nc, c, N] -> [B*N, c, nc]
+    x1 = x.reshape(b, nc, c, n).transpose(0, 3, 2, 1).reshape(b * n, c, nc)
+    x1 = _ie_block(params["layer1"], x1, mm)
+    x1 = _lin(params["proj1"], x1, mm)[..., 0]  # [B*N, d/4]
+    # interval sampling: [B, c, nc, N] -> [B*N, c, nc]
+    x2 = x.reshape(b, c, nc, n).transpose(0, 3, 1, 2).reshape(b * n, c, nc)
+    x2 = _ie_block(params["layer2"], x2, mm)
+    x2 = _lin(params["proj2"], x2, mm)[..., 0]
+
+    x3 = jnp.concatenate([x1, x2], axis=-1).reshape(b, n, -1)
+    out = _ie_block(params["layer3"], x3.transpose(0, 2, 1), mm)  # [B,pred,N]
+    return out + highway
+
+
+# ===========================================================================
+# ETSformer (models/ETSformer.py + layers/ETSformer_EncDec.py) —
+# level/growth/season decomposition with exponential-smoothing attention.
+# TPU-native: the reference's FFT causal convolution
+# (conv1d_fft, ETSformer_EncDec.py:28-43) is an EMA recurrence
+# y[t] = a*y[t-1] + b*x[t], computed here with lax.associative_scan
+# (O(log T) depth, no host FFT planning).
+# ===========================================================================
+
+
+def ema_scan(x: jax.Array, decay: jax.Array, gain: jax.Array, init: jax.Array):
+    """y[t] = decay*y[t-1] + gain*x[t], y[-1] = init.
+    x [B, T, H, D]; decay/gain [H] broadcast; init [B(, 1), H, D]."""
+    b, t, h, d = x.shape
+    a = jnp.broadcast_to(decay[None, None, :, None], x.shape)
+    bx = gain[None, None, :, None] * x
+    # fold the initial state into step 0
+    bx = bx.at[:, 0].add(a[:, 0] * init.reshape(b, h, d))
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(combine, (a, bx), axis=1)
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class ETSformerConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    c_out: int = 7
+    d_model: int = 64
+    n_heads: int = 4
+    d_ff: int = 128
+    e_layers: int = 2
+    top_k: int = 5
+    freq: str = "h"
+
+    @property
+    def enc_embed(self):
+        return _tst.TimeSeriesConfig(
+            c_in=self.enc_in, dim=self.d_model, freq=self.freq,
+            embed_type="timeF", use_pos=True,
+        )
+
+
+def _es_init(key, nhead, dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "alpha": jax.random.normal(k1, (nhead, 1)),  # sigmoid -> smoothing
+        "v0": jax.random.normal(k2, (1, 1, nhead, dim)),
+    }
+
+
+def _es_apply(p, values, aux=None):
+    """ExponentialSmoothing (ETSformer_EncDec.py:46-86)."""
+    alpha = jax.nn.sigmoid(p["alpha"][:, 0])  # [H]
+    h, d = values.shape[2], values.shape[3]
+    v0 = jnp.broadcast_to(p["v0"], (values.shape[0], 1, h, d))
+    out = ema_scan(values, alpha, 1 - alpha, v0)
+    if aux is not None:
+        # sum_{s<=t} alpha^(t-s+1) aux[s]: EMA with gain = decay = alpha
+        zero = jnp.zeros_like(v0)
+        out = out + ema_scan(aux, alpha, alpha, zero)
+    return out
+
+
+def ets_growth_layer(p, x, n_heads, mm):
+    """GrowthLayer -> [B, T+1, D] (first row is the v0 seed)."""
+    b, t, dm = x.shape
+    v = _lin(p["in"], x, mm).reshape(b, t, n_heads, -1)
+    z0 = jnp.broadcast_to(p["z0"][None, None], (b, 1, *p["z0"].shape))
+    v = jnp.concatenate([z0, v], axis=1)
+    v = v[:, 1:] - v[:, :-1]
+    out = _es_apply(p["es"], v)
+    v0 = jnp.broadcast_to(p["es"]["v0"], (b, 1, *p["es"]["v0"].shape[2:]))
+    out = jnp.concatenate([v0, out], axis=1)  # [B, T+1, H, hd]
+    return _lin(p["out"], out.reshape(b, t + 1, dm), mm)
+
+
+def ets_fourier_layer(x, pred_len, k, low_freq=1):
+    """FourierLayer: per-(sample, channel) top-k frequency extrapolation
+    -> [B, T+pred, D] (ETSformer_EncDec.py:133-179)."""
+    b, t, d = x.shape
+    xf = jnp.fft.rfft(x, axis=1)  # [B, F, D]
+    if t % 2 == 0:
+        xf = xf[:, low_freq:-1]
+        f = jnp.fft.rfftfreq(t)[low_freq:-1]
+    else:
+        xf = xf[:, low_freq:]
+        f = jnp.fft.rfftfreq(t)[low_freq:]
+    amp = jnp.abs(xf)  # [B, F, D]
+    _, idx = jax.lax.top_k(amp.transpose(0, 2, 1), k)  # [B, D, k]
+    sel = jnp.take_along_axis(xf.transpose(0, 2, 1), idx, axis=-1)  # [B,D,k]
+    fsel = f[idx]  # [B, D, k]
+    # conjugate pairs to keep the reconstruction real
+    sel = jnp.concatenate([sel, jnp.conj(sel)], axis=-1)
+    fsel = jnp.concatenate([fsel, -fsel], axis=-1)  # [B, D, 2k]
+    tv = jnp.arange(t + pred_len, dtype=jnp.float32)
+    amp_s = jnp.abs(sel) / t
+    phase = jnp.angle(sel)
+    wave = amp_s[..., None] * jnp.cos(
+        2 * np.pi * fsel[..., None] * tv + phase[..., None]
+    )  # [B, D, 2k, T+pred]
+    return jnp.sum(wave, axis=2).transpose(0, 2, 1)
+
+
+def etsformer_init(cfg: ETSformerConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 4 + 6 * cfg.e_layers))
+    hd = cfg.d_model // cfg.n_heads
+    params: Dict[str, Any] = {
+        "embed": _tst.init(cfg.enc_embed, next(ks)),
+        "pred": _linear_init(next(ks), cfg.d_model, cfg.c_out),
+    }
+    layers = []
+    for _ in range(cfg.e_layers):
+        kk = jax.random.split(next(ks), 8)
+        layers.append({
+            "growth": {
+                "in": _linear_init(kk[0], cfg.d_model, cfg.d_model),
+                "out": _linear_init(kk[1], cfg.d_model, cfg.d_model),
+                "z0": jax.random.normal(kk[2], (cfg.n_heads, hd)),
+                "es": _es_init(kk[3], cfg.n_heads, hd),
+            },
+            "level_es": _es_init(kk[4], cfg.c_out, 1),
+            "level_gp": _linear_init(kk[5], cfg.d_model, cfg.c_out),
+            "level_sp": _linear_init(kk[6], cfg.d_model, cfg.c_out),
+            "ff1": _linear_init(kk[7], cfg.d_model, cfg.d_ff, bias=False),
+            "ff2": _linear_init(
+                jax.random.split(kk[7])[0], cfg.d_ff, cfg.d_model, bias=False
+            ),
+            "ln1_scale": jnp.ones((cfg.d_model,)),
+            "ln1_bias": jnp.zeros((cfg.d_model,)),
+            "ln2_scale": jnp.ones((cfg.d_model,)),
+            "ln2_bias": jnp.zeros((cfg.d_model,)),
+            "damping": jax.random.normal(
+                jax.random.split(kk[2])[0], (1, cfg.n_heads)
+            ),
+        })
+    params["layers"] = layers
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def etsformer_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,
+    x_mark_enc: jax.Array,
+    cfg: ETSformerConfig,
+) -> jax.Array:
+    """-> [B, pred_len, c_out] (Model.forecast; the train-time jitter
+    Transform is a data augmentation, not part of the eval path)."""
+    mm = jax.lax.Precision.HIGHEST
+    b = x_enc.shape[0]
+    res = _tst.apply(params["embed"], x_enc, cfg.enc_embed, x_mark_enc, mm)
+    level = x_enc  # [B, T, c_out]
+    growths, seasons = [], []
+    for lp in params["layers"]:
+        season = ets_fourier_layer(res, cfg.pred_len, cfg.top_k)
+        res = res - season[:, : -cfg.pred_len]
+        growth = ets_growth_layer(lp["growth"], res, cfg.n_heads, mm)
+        res = _ln_plain(res - growth[:, 1:], lp["ln1_scale"], lp["ln1_bias"])
+        y = _lin(lp["ff2"], jax.nn.sigmoid(_lin(lp["ff1"], res, mm)), mm)
+        res = _ln_plain(res + y, lp["ln2_scale"], lp["ln2_bias"])
+        # LevelLayer: per-channel ES of (level - season_pred) + growth aux
+        gp = _lin(lp["level_gp"], growth[:, :-1], mm)[..., None]  # [B,T,c,1]
+        sp = _lin(lp["level_sp"], season[:, : -cfg.pred_len], mm)[..., None]
+        lv = level[..., None]
+        level = _es_apply(lp["level_es"], lv - sp, aux=gp)[..., 0]
+        growths.append(growth)
+        seasons.append(season)
+
+    # Decoder: damped growth horizon + seasonal horizon per layer
+    g_repr, s_repr = 0.0, 0.0
+    for lp, growth, season in zip(params["layers"], growths, seasons):
+        df = jax.nn.sigmoid(lp["damping"][0])  # [H]
+        powers = jnp.arange(1, cfg.pred_len + 1, dtype=jnp.float32)
+        factors = jnp.cumsum(df[None, :] ** powers[:, None], axis=0)  # [P,H]
+        h = lp["damping"].shape[1]
+        g_last = growth[:, -1:].reshape(b, 1, h, -1)
+        g_repr = g_repr + (g_last * factors[None, :, :, None]).reshape(
+            b, cfg.pred_len, -1
+        )
+        s_repr = s_repr + season[:, -cfg.pred_len:]
+    preds = (
+        level[:, -1:]
+        + _lin(params["pred"], g_repr, mm)
+        + _lin(params["pred"], s_repr, mm)
+    )
+    return preds
+
+
+# ===========================================================================
+# MICN (models/MICN.py) — multi-scale isometric convolution over the
+# seasonal component + linear trend regression.
+# ===========================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class MICNConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    c_out: int = 7
+    d_model: int = 64
+    d_layers: int = 1
+    conv_kernels: Tuple[int, ...] = (12, 16)
+    freq: str = "h"
+
+    @property
+    def decomp_kernels(self) -> Tuple[int, ...]:
+        return tuple(k + 1 if k % 2 == 0 else k for k in self.conv_kernels)
+
+    @property
+    def iso_kernels(self) -> Tuple[int, ...]:
+        t = self.seq_len + self.pred_len
+        return tuple(
+            (t + k) // k if k % 2 == 0 else (t + k - 1) // k
+            for k in self.conv_kernels
+        )
+
+    @property
+    def dec_embed(self):
+        return _tst.TimeSeriesConfig(
+            c_in=self.enc_in, dim=self.d_model, freq=self.freq,
+            embed_type="timeF", use_pos=True,
+        )
+
+
+def series_decomp_multi(x: jax.Array, kernels) -> tuple:
+    """Average of per-kernel decompositions (Autoformer_EncDec.py:56-76)."""
+    seas, trends = [], []
+    for k in kernels:
+        s, t = series_decomp(x, k)
+        seas.append(s)
+        trends.append(t)
+    return sum(seas) / len(seas), sum(trends) / len(trends)
+
+
+def _conv1d_init(key, k, cin, cout):
+    return {
+        "w": jax.random.normal(key, (k, cin, cout)) * np.sqrt(1.0 / (k * cin)),
+        "b": jnp.zeros((cout,)),
+    }
+
+
+def _conv1d(x, p, stride=1, padding=0, mm=jax.lax.Precision.HIGHEST):
+    """x [B, L, C] 'NWC' conv."""
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], (stride,), [(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=mm,
+    )
+    return out + p["b"]
+
+
+def _conv1d_transpose(x, p, stride, mm=jax.lax.Precision.HIGHEST):
+    out = jax.lax.conv_transpose(
+        x, p["w"], (stride,), "VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=mm,
+    )
+    return out + p["b"]
+
+
+def micn_init(cfg: MICNConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 4 + 8 * cfg.d_layers * len(cfg.conv_kernels)))
+    d = cfg.d_model
+    params: Dict[str, Any] = {
+        "embed": _tst.init(cfg.dec_embed, next(ks)),
+        # trend regression initialized to the mean predictor (MICN.py:146-148)
+        "regression": {
+            "w": jnp.full((cfg.seq_len, cfg.pred_len), 1.0 / cfg.pred_len),
+            "b": jnp.zeros((cfg.pred_len,)),
+        },
+        "proj": _linear_init(next(ks), d, cfg.c_out),
+    }
+    layers = []
+    for _ in range(cfg.d_layers):
+        branches = []
+        for ck, ik in zip(cfg.conv_kernels, cfg.iso_kernels):
+            kk = jax.random.split(next(ks), 3)
+            branches.append({
+                "down": _conv1d_init(kk[0], ck, d, d),
+                "iso": _conv1d_init(kk[1], ik, d, d),
+                "up": _conv1d_init(kk[2], ck, d, d),
+            })
+        kk = jax.random.split(next(ks), 3)
+        layers.append({
+            "branches": branches,
+            "merge": _conv1d_init(kk[0], len(cfg.conv_kernels), d, d),
+            "ff1": _conv1d_init(kk[1], 1, d, 4 * d),
+            "ff2": _conv1d_init(kk[2], 1, 4 * d, d),
+            "ln_scale": jnp.ones((d,)), "ln_bias": jnp.zeros((d,)),
+            "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+            "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+        })
+    params["layers"] = layers
+    return params
+
+
+def _mic_layer(lp, x, cfg: MICNConfig, mm):
+    """One MIC layer (MICN.py:49-89): per-scale decomp ->
+    down-conv -> isometric conv -> transpose-conv up -> merge -> FFN."""
+    outs = []
+    for br, ck, dk in zip(lp["branches"], cfg.conv_kernels, cfg.decomp_kernels):
+        src, _ = series_decomp(x, dk)
+        t = src.shape[1]
+        h1 = jnp.tanh(_conv1d(src, br["down"], stride=ck, padding=ck // 2, mm=mm))
+        # isometric: causal full-length kernel over left-zero-padded input
+        li = h1.shape[1]
+        hp = jnp.pad(h1, ((0, 0), (li - 1, 0), (0, 0)))
+        h2 = jnp.tanh(_conv1d(hp, br["iso"], mm=mm))
+        h = _ln_plain(h2 + h1, lp["ln_scale"], lp["ln_bias"])
+        h = jnp.tanh(_conv1d_transpose(h, br["up"], ck, mm=mm))[:, :t]
+        outs.append(_ln_plain(h + src, lp["ln_scale"], lp["ln_bias"]))
+    mg = jnp.stack(outs, axis=1)  # [B, S, L, D]
+    # merge: conv2d over the scale axis == weighted sum via the S-tap conv
+    w = lp["merge"]["w"]  # [S, D, D]
+    mg = jnp.einsum("bsld,sde->ble", mg, w, precision=mm) + lp["merge"]["b"]
+    y = _ln_plain(mg, lp["ln1_scale"], lp["ln1_bias"])
+    y2 = _conv1d(jax.nn.relu(_conv1d(y, lp["ff1"], mm=mm)), lp["ff2"], mm=mm)
+    return _ln_plain(mg + y2, lp["ln2_scale"], lp["ln2_bias"])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def micn_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,
+    x_mark_dec: jax.Array,  # [B, seq_len+pred_len, n_timef]
+    cfg: MICNConfig,
+) -> jax.Array:
+    """-> [B, pred_len, c_out] (Model.forecast)."""
+    mm = jax.lax.Precision.HIGHEST
+    b = x_enc.shape[0]
+    seasonal, trend = series_decomp_multi(x_enc, cfg.decomp_kernels)
+    trend = jnp.einsum(
+        "blc,lp->bpc", trend, params["regression"]["w"], precision=mm
+    ) + params["regression"]["b"][None, :, None]
+    dec_in = jnp.concatenate(
+        [seasonal, jnp.zeros((b, cfg.pred_len, cfg.enc_in), x_enc.dtype)], 1
+    )
+    h = _tst.apply(params["embed"], dec_in, cfg.dec_embed, x_mark_dec, mm)
+    for lp in params["layers"]:
+        h = _mic_layer(lp, h, cfg, mm)
+    out = _lin(params["proj"], h, mm)
+    return out[:, -cfg.pred_len:] + trend[:, -cfg.pred_len:]
