@@ -1710,3 +1710,442 @@ def micn_forecast(
         h = _mic_layer(lp, h, cfg, mm)
     out = _lin(params["proj"], h, mm)
     return out[:, -cfg.pred_len:] + trend[:, -cfg.pred_len:]
+
+
+# ===========================================================================
+# FiLM (models/FiLM.py) — HiPPO-LegT Legendre memory + frequency-enhanced
+# low-rank mixing, multiscale, with non-stationary normalization.
+# ===========================================================================
+
+
+def _hippo_legt_mats(n: int, dt: float):
+    """Bilinear-discretized LegT (A, B) + Legendre eval matrix
+    (FiLM.py transition/HiPPO_LegT; host-side numpy, stored as buffers)."""
+    import scipy.signal
+    import scipy.special
+
+    q = np.arange(n, dtype=np.float64)
+    r = (2 * q + 1)[:, None]
+    j, i = np.meshgrid(q, q)
+    a = np.where(i < j, -1, (-1.0) ** (i - j + 1)) * r
+    b = (-1.0) ** q[:, None] * r
+    c = np.ones((1, n))
+    d = np.zeros((1,))
+    ad, bd, *_ = scipy.signal.cont2discrete((a, b, c, d), dt=dt, method="bilinear")
+    vals = np.arange(0.0, 1.0, dt)
+    eval_matrix = scipy.special.eval_legendre(
+        np.arange(n)[:, None], 1 - 2 * vals
+    ).T  # [T_eval, N]
+    return (
+        ad.astype(np.float32),
+        bd.squeeze(-1).astype(np.float32),
+        eval_matrix.astype(np.float32),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FiLMConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    hippo_n: int = 256  # window_size
+    multiscale: Tuple[int, ...] = (1, 2, 4)
+    modes: int = 32
+
+    @property
+    def n_branches(self) -> int:
+        return len(self.multiscale)
+
+
+def film_init(cfg: FiLMConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 2 + 2 * cfg.n_branches))
+    n = cfg.hippo_n
+    modes = min(cfg.modes, min(cfg.pred_len, cfg.seq_len) // 2)
+    params: Dict[str, Any] = {
+        "affine_w": jnp.ones((1, 1, cfg.enc_in)),
+        "affine_b": jnp.zeros((1, 1, cfg.enc_in)),
+        "mlp": _linear_init(next(ks), cfg.n_branches, 1),
+    }
+    branches = []
+    for i in cfg.multiscale:
+        ad, bd, ev = _hippo_legt_mats(n, 1.0 / cfg.pred_len / i)
+        k1, k2 = jax.random.split(next(ks))
+        scale = 1.0 / (n * n)
+        branches.append({
+            "A": jnp.asarray(ad), "B": jnp.asarray(bd),
+            "eval": jnp.asarray(ev),
+            "w_re": jax.random.uniform(k1, (n, n, modes)) * scale,
+            "w_im": jax.random.uniform(k2, (n, n, modes)) * scale,
+        })
+    params["branches"] = branches
+    return params
+
+
+def _legt_scan(br, x):
+    """HiPPO-LegT recurrence c[t] = c[t-1] A^T + f[t] B -> [B, E, N, T]."""
+    b, e, t = x.shape
+    n = br["A"].shape[0]
+
+    def step(c, f):  # c [B, E, N]; f [B, E]
+        c = c @ br["A"].T + f[..., None] * br["B"][None, None, :]
+        return c, c
+
+    c0 = jnp.zeros((b, e, n), x.dtype)
+    _, cs = jax.lax.scan(step, c0, x.transpose(2, 0, 1))  # [T, B, E, N]
+    return cs.transpose(1, 2, 3, 0)
+
+
+def _spectral_conv(br, x, modes):
+    """SpectralConv1d (FiLM.py:59-88): rfft over T, complex linear map on
+    the lowest modes over the HiPPO order axis. x [B, E, N, T]."""
+    t = x.shape[-1]
+    xf = jnp.fft.rfft(x)  # [B, E, N, F]
+    a = xf[..., :modes]
+    re, im = _cmul(a.real, a.imag, br["w_re"], br["w_im"], "bjix,iox->bjox")
+    out = jnp.zeros(x.shape[:2] + (br["w_re"].shape[1], t // 2 + 1), jnp.complex64)
+    out = out.at[..., :modes].set(re + 1j * im)
+    return jnp.fft.irfft(out, n=t)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def film_forecast(
+    params: Dict[str, Any], x_enc: jax.Array, cfg: FiLMConfig
+) -> jax.Array:
+    """-> [B, pred_len, enc_in] (Model.forecast)."""
+    mm = jax.lax.Precision.HIGHEST
+    means = jnp.mean(x_enc, 1, keepdims=True)
+    xc = x_enc - means
+    stdev = jnp.sqrt(jnp.var(xc, axis=1, keepdims=True) + 1e-5)
+    xc = xc / stdev
+    xc = xc * params["affine_w"] + params["affine_b"]
+    modes = min(cfg.modes, min(cfg.pred_len, cfg.seq_len) // 2)
+
+    outs = []
+    for scale, br in zip(cfg.multiscale, params["branches"]):
+        x_in = xc[:, -scale * cfg.pred_len:]
+        c = _legt_scan(br, x_in.transpose(0, 2, 1))  # [B, E, N, T]
+        o = _spectral_conv(br, c, modes)
+        if cfg.seq_len >= cfg.pred_len:
+            sel = o[..., cfg.pred_len - 1]  # [B, E, N]
+        else:
+            sel = o[..., -1]
+        dec = jnp.einsum(
+            "ben,pn->bep", sel, br["eval"][-cfg.pred_len:], precision=mm
+        )
+        outs.append(dec)
+    x_dec = jnp.stack(outs, axis=-1)  # [B, E, P, S]
+    x_dec = _lin(params["mlp"], x_dec, mm)[..., 0].transpose(0, 2, 1)
+    x_dec = (x_dec - params["affine_b"]) / (params["affine_w"] + 1e-10)
+    return x_dec * stdev + means
+
+
+# ===========================================================================
+# Pyraformer (models/Pyraformer.py + layers/Pyraformer_EncDec.py) —
+# pyramidal attention over a multi-resolution token tree.
+# ===========================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class PyraformerConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    d_model: int = 64
+    n_heads: int = 4
+    d_ff: int = 128
+    e_layers: int = 2
+    window_sizes: Tuple[int, ...] = (4, 4)
+    inner_size: int = 5
+    freq: str = "h"
+
+    @property
+    def all_sizes(self) -> Tuple[int, ...]:
+        sizes = [self.seq_len]
+        for w in self.window_sizes:
+            sizes.append(sizes[-1] // w)
+        return tuple(sizes)
+
+    @property
+    def enc_embed(self):
+        return _tst.TimeSeriesConfig(
+            c_in=self.enc_in, dim=self.d_model, freq=self.freq,
+            embed_type="timeF", use_pos=True,
+        )
+
+
+def pyraformer_mask(cfg: PyraformerConfig) -> np.ndarray:
+    """PAM-Naive attention mask (Pyraformer_EncDec.get_mask): True =
+    masked. Intra-scale neighbourhood + inter-scale parent/child links."""
+    sizes = cfg.all_sizes
+    total = sum(sizes)
+    mask = np.zeros((total, total), bool)
+    inner = cfg.inner_size // 2
+    for li, sz in enumerate(sizes):
+        start = sum(sizes[:li])
+        for i in range(start, start + sz):
+            lo = max(i - inner, start)
+            hi = min(i + inner + 1, start + sz)
+            mask[i, lo:hi] = True
+    for li in range(1, len(sizes)):
+        start = sum(sizes[:li])
+        w = cfg.window_sizes[li - 1]
+        for i in range(start, start + sizes[li]):
+            lo = (start - sizes[li - 1]) + (i - start) * w
+            if i == start + sizes[li] - 1:
+                hi = start
+            else:
+                hi = (start - sizes[li - 1]) + (i - start + 1) * w
+            mask[i, lo:hi] = True
+            mask[lo:hi, i] = True
+    return ~mask
+
+
+def pyraformer_refer_points(cfg: PyraformerConfig) -> np.ndarray:
+    """Per input position, its node index at every scale -> [T, L+1]."""
+    sizes = cfg.all_sizes
+    idx = np.zeros((sizes[0], len(sizes)), np.int64)
+    for i in range(sizes[0]):
+        idx[i][0] = i
+        former = i
+        for j in range(1, len(sizes)):
+            start = sum(sizes[:j])
+            inner_idx = former - (start - sizes[j - 1])
+            former = start + min(inner_idx // cfg.window_sizes[j - 1], sizes[j] - 1)
+            idx[i][j] = former
+    return idx
+
+
+def pyraformer_init(cfg: PyraformerConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 8 + 3 * cfg.e_layers))
+    d = cfg.d_model
+    db = d // 4
+    params: Dict[str, Any] = {
+        "embed": _tst.init(cfg.enc_embed, next(ks)),
+        "down": _linear_init(next(ks), d, db),
+        "up": _linear_init(next(ks), db, d),
+        "cscm_ln_scale": jnp.ones((d,)),
+        "cscm_ln_bias": jnp.zeros((d,)),
+        "convs": [
+            _conv1d_init(next(ks), w, db, db) for w in cfg.window_sizes
+        ],
+        "proj": _linear_init(
+            next(ks), (len(cfg.window_sizes) + 1) * d,
+            cfg.pred_len * cfg.enc_in,
+        ),
+    }
+    layers = []
+    for _ in range(cfg.e_layers):
+        kk = jax.random.split(next(ks), 3)
+        layers.append({
+            "attn": _attn_layer_init(kk[0], d, cfg.n_heads),
+            "ff1": _linear_init(kk[1], d, cfg.d_ff),
+            "ff2": _linear_init(kk[2], cfg.d_ff, d),
+            "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+            "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+        })
+    params["layers"] = layers
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pyraformer_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,
+    x_mark_enc: jax.Array,
+    cfg: PyraformerConfig,
+) -> jax.Array:
+    """-> [B, pred_len, enc_in] (Model.long_forecast: last pyramid node's
+    concatenated multi-scale features project to the whole horizon)."""
+    mm = jax.lax.Precision.HIGHEST
+    b = x_enc.shape[0]
+    h = _tst.apply(params["embed"], x_enc, cfg.enc_embed, x_mark_enc, mm)
+
+    # Bottleneck_Construct: ELU(BN(conv)) chain on down-projected tokens
+    tmp = _lin(params["down"], h, mm)
+    coarse = []
+    for p, w in zip(params["convs"], cfg.window_sizes):
+        tmp = _conv1d(tmp, p, stride=w, mm=mm)
+        mu = jnp.mean(tmp, axis=(0, 1), keepdims=True)
+        var = jnp.var(tmp, axis=(0, 1), keepdims=True)
+        tmp = jax.nn.elu((tmp - mu) * jax.lax.rsqrt(var + 1e-5))
+        coarse.append(tmp)
+    up = _lin(params["up"], jnp.concatenate(coarse, axis=1), mm)
+    seq = jnp.concatenate([h, up], axis=1)
+    seq = _ln_plain(seq, params["cscm_ln_scale"], params["cscm_ln_bias"])
+
+    neg = jnp.asarray(~pyraformer_mask(cfg))  # True = masked
+    for lp in params["layers"]:
+        q, k, v = _proj_qkv(lp["attn"], seq, seq, seq, cfg.n_heads, mm)
+        e = q.shape[-1]
+        s = jnp.einsum("blhe,bshe->bhls", q, k, precision=mm) / np.sqrt(e)
+        s = jnp.where(neg[None, None], -jnp.inf, s)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhls,bshe->blhe", a, v, precision=mm)
+        o = _lin(lp["attn"]["o"], o.reshape(seq.shape), mm)
+        seq = seq + o
+        y = _lin(lp["ff2"], jax.nn.gelu(_lin(lp["ff1"], seq, mm)), mm)
+        seq = _ln_plain(seq + y, lp["ln2_scale"], lp["ln2_bias"])
+
+    refs = jnp.asarray(pyraformer_refer_points(cfg))  # [T, L+1]
+    gathered = seq[:, refs]  # [B, T, L+1, D]
+    feats = gathered.reshape(b, cfg.seq_len, -1)
+    out = _lin(params["proj"], feats[:, -1], mm)
+    return out.reshape(b, cfg.pred_len, cfg.enc_in)
+
+
+# ===========================================================================
+# Reformer (models/Reformer.py; LSH attention per reformer_pytorch's
+# LSHSelfAttention) — shared-QK LSH bucketing + chunked attention.
+# ===========================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class ReformerConfig:
+    seq_len: int = 96
+    pred_len: int = 96
+    enc_in: int = 7
+    c_out: int = 7
+    d_model: int = 64
+    n_heads: int = 4
+    d_ff: int = 128
+    e_layers: int = 2
+    bucket_size: int = 4
+    n_hashes: int = 4
+    freq: str = "h"
+
+    @property
+    def enc_embed(self):
+        return _tst.TimeSeriesConfig(
+            c_in=self.enc_in, dim=self.d_model, freq=self.freq,
+            embed_type="timeF", use_pos=True,
+        )
+
+
+def lsh_attention(
+    qk: jax.Array,  # [B, T, H, E] (shared query/key, Reformer-style)
+    v: jax.Array,  # [B, T, H, E]
+    n_hashes: int,
+    bucket_size: int,
+    key: jax.Array,
+):
+    """LSH attention: random-rotation bucketing, sort, attend within
+    chunks of 2*bucket_size with one-chunk lookback, combine hash rounds
+    by their softmax log-denominators. Deterministic given `key` (the
+    reference's rotations are fresh randomness per call; here they come
+    from a PRNG key so runs are reproducible)."""
+    b, t, h, e = qk.shape
+    chunk = bucket_size * 2
+    assert t % chunk == 0
+    n_chunks = t // chunk
+    n_buckets = max(2, t // bucket_size)
+    qk_n = qk / jnp.maximum(jnp.linalg.norm(qk, axis=-1, keepdims=True), 1e-6)
+
+    outs, lses = [], []
+    for r in range(n_hashes):
+        rk = jax.random.fold_in(key, r)
+        rot = jax.random.normal(rk, (h, e, n_buckets // 2))
+        proj = jnp.einsum("bthe,hef->bthf", qk_n, rot)
+        buckets = jnp.argmax(
+            jnp.concatenate([proj, -proj], axis=-1), axis=-1
+        )  # [B, T, H]
+        # sort positions by (bucket, position)
+        sortkey = buckets * (t + 1) + jnp.arange(t)[None, :, None]
+        order = jnp.argsort(sortkey, axis=1)  # [B, T, H]
+        inv = jnp.argsort(order, axis=1)
+        take = lambda x, o: jnp.take_along_axis(x, o[..., None], axis=1)
+        sq = take(qk, order)
+        sv = take(v, order)
+        cq = sq.reshape(b, n_chunks, chunk, h, e)
+        ck = jnp.concatenate(
+            [jnp.roll(cq, 1, axis=1), cq], axis=2
+        )  # lookback one chunk -> [B, C, 2*chunk, H, E]
+        cv = jnp.concatenate(
+            [jnp.roll(sv.reshape(b, n_chunks, chunk, h, e), 1, axis=1),
+             sv.reshape(b, n_chunks, chunk, h, e)], axis=2,
+        )
+        s = jnp.einsum("bcihe,bcjhe->bchij", cq, ck) / np.sqrt(e)
+        # discourage self-attention (reformer masks i==j with -1e5)
+        eye = jnp.eye(chunk, dtype=bool)
+        self_mask = jnp.concatenate(
+            [jnp.zeros((chunk, chunk), bool), eye], axis=-1
+        )
+        s = jnp.where(self_mask[None, None, None], s - 1e5, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bchij,bcjhe->bcihe", p / l, cv)
+        o = o.reshape(b, t, h, e)
+        lse = (m + jnp.log(l))[..., 0].transpose(0, 1, 3, 2).reshape(b, t, h)
+        outs.append(take(o, inv))
+        lses.append(jnp.take_along_axis(lse, inv, axis=1))
+    outs = jnp.stack(outs)  # [R, B, T, H, E]
+    lses = jnp.stack(lses)  # [R, B, T, H]
+    w = jax.nn.softmax(lses, axis=0)[..., None]
+    return jnp.sum(outs * w, axis=0)
+
+
+def reformer_init(cfg: ReformerConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 4 + 4 * cfg.e_layers))
+    d = cfg.d_model
+    params: Dict[str, Any] = {
+        "embed": _tst.init(cfg.enc_embed, next(ks)),
+        "norm_scale": jnp.ones((d,)),
+        "norm_bias": jnp.zeros((d,)),
+        "proj": _linear_init(next(ks), d, cfg.c_out),
+    }
+    layers = []
+    for _ in range(cfg.e_layers):
+        kk = jax.random.split(next(ks), 4)
+        layers.append({
+            "qk": _linear_init(kk[0], d, d, bias=False),
+            "v": _linear_init(kk[1], d, d, bias=False),
+            "o": _linear_init(kk[2], d, d),
+            "ff1": _linear_init(kk[3], d, cfg.d_ff),
+            "ff2": _linear_init(jax.random.split(kk[3])[0], cfg.d_ff, d),
+            "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+            "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+        })
+    params["layers"] = layers
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reformer_forecast(
+    params: Dict[str, Any],
+    x_enc: jax.Array,
+    x_mark_enc: jax.Array,
+    cfg: ReformerConfig,
+    rng: jax.Array = None,
+) -> jax.Array:
+    """-> [B, pred_len, c_out] (Model.long_forecast: placeholder tokens
+    appended for the horizon, encoder-only, per-token projection)."""
+    mm = jax.lax.Precision.HIGHEST
+    b = x_enc.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    x = jnp.concatenate(
+        [x_enc, jnp.zeros((b, cfg.pred_len, cfg.enc_in), x_enc.dtype)], 1
+    )
+    marks = jnp.concatenate(
+        [x_mark_enc,
+         jnp.zeros((b, cfg.pred_len, x_mark_enc.shape[-1]), x_mark_enc.dtype)],
+        1,
+    )
+    h = _tst.apply(params["embed"], x, cfg.enc_embed, marks, mm)
+    t = h.shape[1]
+    chunk = cfg.bucket_size * 2
+    pad = (-t) % chunk
+    for li, lp in enumerate(params["layers"]):
+        hp = jnp.pad(h, ((0, 0), (0, pad), (0, 0))) if pad else h
+        qk = _lin(lp["qk"], hp, mm).reshape(b, t + pad, cfg.n_heads, -1)
+        v = _lin(lp["v"], hp, mm).reshape(b, t + pad, cfg.n_heads, -1)
+        a = lsh_attention(
+            qk, v, cfg.n_hashes, cfg.bucket_size, jax.random.fold_in(rng, li)
+        )
+        a = a.reshape(b, t + pad, -1)[:, :t]
+        h = _ln_plain(h + _lin(lp["o"], a, mm), lp["ln1_scale"], lp["ln1_bias"])
+        y = _lin(lp["ff2"], jax.nn.relu(_lin(lp["ff1"], h, mm)), mm)
+        h = _ln_plain(h + y, lp["ln2_scale"], lp["ln2_bias"])
+    h = _ln_plain(h, params["norm_scale"], params["norm_bias"])
+    out = _lin(params["proj"], h, mm)
+    return out[:, -cfg.pred_len:]
