@@ -62,6 +62,7 @@ def _register_builtins() -> None:
         mask_rcnn,
         point_classifier,
         point_multiview,
+        point_rcnn,
         point_segmenter,
         pv_rcnn,
         second,
@@ -87,6 +88,7 @@ def _register_builtins() -> None:
         "CenterPoint": centerpoint,  # anchor-free center-heatmap detector
         "VoxelRCNN": voxel_rcnn,  # two-stage sparse-voxel detector
         "PVRCNN": pv_rcnn,  # point-voxel two-stage detector
+        "PointRCNN": point_rcnn,  # point-based two-stage detector
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
