@@ -58,6 +58,7 @@ def _register_builtins() -> None:
         centerpoint,
         graph_predictor,
         hyper_classifier,
+        iassd,
         image_classifier,
         mask_rcnn,
         point_classifier,
@@ -89,6 +90,7 @@ def _register_builtins() -> None:
         "VoxelRCNN": voxel_rcnn,  # two-stage sparse-voxel detector
         "PVRCNN": pv_rcnn,  # point-voxel two-stage detector
         "PointRCNN": point_rcnn,  # point-based two-stage detector
+        "IASSD": iassd,  # instance-aware single-stage point detector
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
