@@ -67,6 +67,7 @@ def _register_builtins() -> None:
         point_segmenter,
         pv_rcnn,
         second,
+        second_iou,
         segmentor,
         tabular_classifier,
         time_series,
@@ -91,6 +92,7 @@ def _register_builtins() -> None:
         "PVRCNN": pv_rcnn,  # point-voxel two-stage detector
         "PointRCNN": point_rcnn,  # point-based two-stage detector
         "IASSD": iassd,  # instance-aware single-stage point detector
+        "SECONDNetIoU": second_iou,  # SECOND + IoU confidence head (SSL workhorse)
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
