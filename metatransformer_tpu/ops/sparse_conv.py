@@ -294,6 +294,58 @@ def voxelize_points(
     )
 
 
+def inverse_sparse_conv3d(
+    st: SparseTensor,  # coarse input
+    fine: SparseTensor,  # template for the finer output active set
+    weight: jax.Array,  # [kd, kh, kw, Cin, Cout]
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+) -> SparseTensor:
+    """Inverse (transposed) sparse conv (spconv SparseInverseConv3d):
+    upsamples back to a previously-stored finer active set — the UNet
+    decoder op (spconv_unet.py inverseconv, restores the ``indice_key``
+    level). out[f] = sum over kernel offsets k of W[k] @ in[c] where
+    c * stride - pad + k == f and c is active in the coarse tensor."""
+    kd, kh, kw, cin, cout = weight.shape
+    offs = _offsets((kd, kh, kw)) + np.array([kd // 2, kh // 2, kw // 2])
+    strd = jnp.asarray(stride, jnp.int32)
+    padd = jnp.asarray(padding, jnp.int32)
+    sorted_keys, order = build_lookup(st)
+    n = fine.capacity
+    k = offs.shape[0]
+    fz = fine.coords[:, 1:]  # [N, 3]
+    # candidate coarse position per (fine voxel, kernel offset)
+    num = fz[:, None, :] + padd[None, None] - jnp.asarray(offs, jnp.int32)[None]
+    div_ok = jnp.all(num % strd[None, None] == 0, axis=-1)
+    cpos = num // strd[None, None]
+    qc = jnp.concatenate(
+        [
+            jnp.broadcast_to(fine.coords[:, :1, None], (n, 1, k)).transpose(0, 2, 1),
+            cpos,
+        ],
+        axis=-1,
+    ).reshape(n * k, 4)
+    qvalid = jnp.repeat(fine.valid, k) & div_ok.reshape(-1)
+    qkeys = _linearize(qc, qvalid, st.spatial_shape)
+    src, found = lookup(sorted_keys, order, qkeys)
+    feats = st.features[src] * found[:, None].astype(st.features.dtype)
+    neigh = feats.reshape(n, k, cin)
+    out = jax.lax.dot_general(
+        neigh.reshape(n, k * cin),
+        weight.reshape(k * cin, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(st.features.dtype)
+    out = out * fine.valid[:, None].astype(out.dtype)
+    return SparseTensor(
+        features=out,
+        coords=fine.coords,
+        valid=fine.valid,
+        spatial_shape=fine.spatial_shape,
+        batch_size=fine.batch_size,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dense oracle (test twin)
 # ---------------------------------------------------------------------------

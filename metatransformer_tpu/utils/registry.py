@@ -61,6 +61,7 @@ def _register_builtins() -> None:
         iassd,
         image_classifier,
         mask_rcnn,
+        part_a2,
         point_classifier,
         point_multiview,
         point_rcnn,
@@ -93,6 +94,7 @@ def _register_builtins() -> None:
         "PointRCNN": point_rcnn,  # point-based two-stage detector
         "IASSD": iassd,  # instance-aware single-stage point detector
         "SECONDNetIoU": second_iou,  # SECOND + IoU confidence head (SSL workhorse)
+        "PartA2Net": part_a2,  # part-aware two-stage detector (sparse UNet)
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
