@@ -127,6 +127,8 @@ def attention(
     scale = float(hd) ** -0.5
     q = jnp.einsum("btd,dhk->bhtk", xc, w[:, 0], precision=mm) + qb
     k = jnp.einsum("btd,dhk->bhtk", xc, w[:, 1], precision=mm)
+    if "k_bias" in p:  # UniPerceiver's in_proj has a full qkv bias
+        k = k + p["k_bias"].astype(cd).reshape(h, 1, hd)
     v = jnp.einsum("btd,dhk->bhtk", xc, w[:, 2], precision=mm) + vb
     logits = jnp.einsum(
         "bhtk,bhsk->bhts", q * scale, k,

@@ -242,6 +242,64 @@ def convert_beit_state_dict(
     }
 
 
+
+
+_UNIPERCEIVER_KEY_MAP = {
+    "norm1.weight": ("norm1_scale", False),
+    "norm1.bias": ("norm1_bias", False),
+    "self_attn.in_proj.weight": ("qkv_w", True),  # [3D, D] -> [D, 3D]
+    "self_attn.in_proj.bias": ("qkv_b", False),  # split into q/k/v below
+    "self_attn.out_proj.weight": ("proj_w", True),
+    "self_attn.out_proj.bias": ("proj_b", False),
+    "gamma_1": ("gamma_1", False),
+    "gamma_2": ("gamma_2", False),
+    "norm2.weight": ("norm2_scale", False),
+    "norm2.bias": ("norm2_bias", False),
+    "linear1.weight": ("fc1_w", True),
+    "linear1.bias": ("fc1_b", False),
+    "linear2.weight": ("fc2_w", True),
+    "linear2.bias": ("fc2_b", False),
+}
+
+
+def convert_uniperceiver_state_dict(
+    state: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """UniPerceiver ``layers.{i}.*`` BertLayer state dict -> stacked
+    pytree for :mod:`core.beit` with ``rel_index=None`` blocks
+    (backbones/base/uniperceiver.py:111-150). The fused in_proj bias is
+    split into the q/k/v biases (k_bias is UniPerceiver-specific)."""
+    per_layer: Dict[int, Dict[str, np.ndarray]] = {}
+    for key, value in state.items():
+        m = re.match(r"^(?:layers\.)?(\d+)\.(.+)$", key)
+        if not m:
+            raise ValueError(f"unexpected UniPerceiver checkpoint key: {key!r}")
+        idx, sub = int(m.group(1)), m.group(2)
+        if sub not in _UNIPERCEIVER_KEY_MAP:
+            raise ValueError(f"unexpected UniPerceiver submodule key: {key!r}")
+        name, transpose = _UNIPERCEIVER_KEY_MAP[sub]
+        arr = np.asarray(value, dtype=np.float32)
+        if transpose:
+            arr = arr.T
+        per_layer.setdefault(idx, {})[name] = arr
+
+    depth = len(per_layer)
+    if sorted(per_layer) != list(range(depth)):
+        raise ValueError(f"non-contiguous layer indices: {sorted(per_layer)}")
+    for i in range(depth):
+        qkv_b = per_layer[i].pop("qkv_b")
+        d = qkv_b.shape[0] // 3
+        per_layer[i]["q_bias"] = qkv_b[:d]
+        per_layer[i]["k_bias"] = qkv_b[d : 2 * d]
+        per_layer[i]["v_bias"] = qkv_b[2 * d :]
+
+    names = sorted(per_layer[0])
+    return {
+        name: np.stack([per_layer[i][name] for i in range(depth)])
+        for name in names
+    }
+
+
 def main(argv=None) -> None:
     """CLI: ``python -m metatransformer_tpu.core.convert in.pth out.npz``."""
     import argparse

@@ -66,7 +66,10 @@ class ViTAdapterConfig:
     )
     add_vit_feature: bool = True
     # "timm" = the frozen Meta-Transformer blocks; "beit" = BEiT blocks
-    # with per-layer rel-pos-bias + LayerScale (backbones/beit_adapter.py)
+    # with per-layer rel-pos-bias + LayerScale (backbones/beit_adapter.py);
+    # "uniperceiver" = BertLayer blocks: LayerScale (zero-init), full qkv
+    # bias, NO rel-pos-bias (backbones/base/uniperceiver.py:111-150,
+    # uniperceiver_adapter.py)
     block_type: str = "timm"
     layerscale_init: float = 0.1
     # per-block window-attention flags (base/vit.py WindowedAttention; the
@@ -205,6 +208,17 @@ def init(cfg: ViTAdapterConfig, key: jax.Array) -> Dict[str, Any]:
         from metatransformer_tpu.core import beit as beit_mod
 
         enc_params = beit_mod.init(cfg.beit_cfg((grid, grid)), keys[0])
+    elif cfg.block_type == "uniperceiver":
+        from metatransformer_tpu.core import beit as beit_mod
+
+        enc_params = dict(beit_mod.init(cfg.beit_cfg((grid, grid)), keys[0]))
+        del enc_params["rel_pos_table"]  # BertLayer has no rel-pos-bias
+        enc_params["k_bias"] = jnp.zeros(
+            (cfg.encoder.depth, cfg.encoder.dim), jnp.float32
+        )
+        # UniPerceiver initializes LayerScale at zero (uniperceiver.py:129)
+        enc_params["gamma_1"] = jnp.zeros_like(enc_params["gamma_1"])
+        enc_params["gamma_2"] = jnp.zeros_like(enc_params["gamma_2"])
     else:
         enc_params = enc.init(cfg.encoder, keys[0])
     params: Dict[str, Any] = {
@@ -281,6 +295,14 @@ def apply(
 
             def blk(carry, lp):
                 return beit_mod.block(carry, lp, bcfg, rel_idx, precision), None
+
+        elif cfg.block_type == "uniperceiver":
+            from metatransformer_tpu.core import beit as beit_mod
+
+            bcfg = cfg.beit_cfg((gh, gw))
+
+            def blk(carry, lp):
+                return beit_mod.block(carry, lp, bcfg, None, precision), None
 
         else:
 

@@ -104,3 +104,64 @@ def test_beit_grads_reach_gamma():
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["gamma_1"]).max()) > 0
     assert float(jnp.abs(g["rel_pos_table"]).max()) > 0
+
+
+def test_uniperceiver_matches_torch_oracle():
+    """UniPerceiver BertLayer == beit.block with rel_index=None + k_bias
+    (uniperceiver.py:111-150), through the checkpoint converter."""
+    import torch
+
+    from tests.torch_ref import make_uniperceiver_encoder
+
+    blocks = make_uniperceiver_encoder(dim=64, depth=2, num_heads=2)
+    sd = {k: v.detach().numpy() for k, v in blocks.state_dict().items()}
+    # state dict keys look like '0.in_proj.weight' -> remap to the
+    # uniperceiver naming ('layers.0.self_attn.in_proj.weight' family)
+    remapped = {}
+    for k, v in sd.items():
+        i, sub = k.split(".", 1)
+        if sub.startswith(("in_proj", "out_proj")):
+            sub = "self_attn." + sub
+        remapped[f"layers.{i}.{sub}"] = v
+    params = {
+        k: jnp.asarray(v)
+        for k, v in convert.convert_uniperceiver_state_dict(remapped).items()
+    }
+    cfg = beit.BEiTConfig(dim=64, depth=2, num_heads=2)
+    x = np.random.default_rng(3).standard_normal((2, 9, 64)).astype(np.float32)
+    want = blocks(torch.from_numpy(x)).detach().numpy()
+
+    def run(h):
+        for i in range(cfg.depth):
+            lp = {k: v[i] for k, v in params.items()}
+            h = beit.block(h, lp, cfg, None)
+        return h
+
+    got = np.asarray(run(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_uniperceiver_adapter_forward():
+    import dataclasses as dc
+
+    from metatransformer_tpu.core import encoder as enc_mod
+    from metatransformer_tpu.models import vit_adapter
+
+    cfg = vit_adapter.ViTAdapterConfig(
+        encoder=enc_mod.EncoderConfig(dim=64, depth=4, num_heads=2),
+        img_size=64,
+        conv_inplane=16,
+        deform_num_heads=2,
+        interaction_indexes=((0, 1), (2, 3)),
+        block_type="uniperceiver",
+    )
+    params = vit_adapter.init(cfg, jax.random.PRNGKey(0))
+    assert "rel_pos_table" not in params["encoder"]
+    assert "k_bias" in params["encoder"]
+    assert float(jnp.abs(params["encoder"]["gamma_1"]).max()) == 0.0
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 64, 64, 3)), jnp.float32
+    )
+    feats = vit_adapter.apply(params, x, cfg)
+    assert [f.shape[1:3] for f in feats] == [(16, 16), (8, 8), (4, 4), (2, 2)]
+    assert all(np.isfinite(np.asarray(f)).all() for f in feats)

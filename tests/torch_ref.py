@@ -150,3 +150,46 @@ def make_beit_encoder(dim=64, depth=2, num_heads=2, window=(4, 4), seed=0):
         for p in blocks.parameters():
             p.add_(torch.randn_like(p) * 0.02)
     return blocks.eval()
+
+
+class UniPerceiverLayer(nn.Module):
+    """BertLayer (uniperceiver.py:111-150): pre-norm attention + FFN with
+    zero-init LayerScale; in_proj carries a full qkv bias."""
+
+    def __init__(self, dim, num_heads, mlp_ratio=4.0):
+        super().__init__()
+        self.num_heads = num_heads
+        self.in_proj = nn.Linear(dim, 3 * dim, bias=True)
+        self.out_proj = nn.Linear(dim, dim)
+        self.linear1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.linear2 = nn.Linear(int(dim * mlp_ratio), dim)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.gamma_1 = nn.Parameter(torch.zeros(dim))
+        self.gamma_2 = nn.Parameter(torch.zeros(dim))
+
+    def attn(self, x):
+        b, t, c = x.shape
+        h = self.num_heads
+        qkv = self.in_proj(x).reshape(b, t, 3, h, c // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * (c // h) ** -0.5
+        a = a.softmax(dim=-1)
+        out = (a @ v).transpose(1, 2).reshape(b, t, c)
+        return self.out_proj(out)
+
+    def forward(self, x):
+        x = x + self.gamma_1 * self.attn(self.norm1(x))
+        h = self.linear2(torch.nn.functional.gelu(self.linear1(self.norm2(x))))
+        return x + self.gamma_2 * h
+
+
+def make_uniperceiver_encoder(dim=64, depth=2, num_heads=2, seed=0):
+    torch.manual_seed(seed)
+    blocks = nn.Sequential(
+        *[UniPerceiverLayer(dim, num_heads) for _ in range(depth)]
+    )
+    with torch.no_grad():
+        for p in blocks.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    return blocks.eval()
