@@ -236,8 +236,7 @@ def forward(
             ctr = jax.vmap(lambda p, i: p[i])(xin, idx)
             ctr_mask = jax.vmap(lambda m, i: m[i])(min_, idx)
         else:  # d-fps
-            far = jnp.where(min_[..., None], xin, 1e6)
-            idx = point_ops.furthest_point_sample(far, st.npoint)
+            idx = point_ops.masked_fps(xin, min_, st.npoint)
             ctr = jax.vmap(lambda p, i: p[i])(xin, idx)
             ctr_mask = jax.vmap(lambda m, i: m[i])(min_, idx)
         # group + aggregate

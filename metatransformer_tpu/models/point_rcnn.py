@@ -212,11 +212,9 @@ def pointnet2_msg(
     cfg: PointRCNNConfig,
 ) -> jax.Array:
     """-> per-point features [B, N, backbone_out]."""
-    far = jnp.where(mask[..., None], xyz, 1e6)
     l_xyz, l_feat, l_mask = [xyz], [feats], [mask]
     for si, st in enumerate(cfg.sa_stages):
-        src = jnp.where(l_mask[si][..., None], l_xyz[si], 1e6)
-        idx = point_ops.furthest_point_sample(src, st.npoint)
+        idx = point_ops.masked_fps(l_xyz[si], l_mask[si], st.npoint)
         ctr = jax.vmap(lambda p, i: p[i])(l_xyz[si], idx)
         ctr_mask = jax.vmap(lambda m, i: m[i])(l_mask[si], idx)
         groups = [

@@ -251,8 +251,7 @@ def voxel_set_abstraction(
     b = points.shape[0]
     xyz = points[..., :3]
     # FPS keypoints (get_sampled_points; invalid points pushed far away)
-    far = jnp.where(points_mask[..., None], xyz, 1e6)
-    kp_idx = point_ops.furthest_point_sample(far, cfg.num_keypoints)
+    kp_idx = point_ops.masked_fps(xyz, points_mask, cfg.num_keypoints)
     keypoints = jax.vmap(lambda p, i: p[i])(xyz, kp_idx)  # [B, K, 3]
 
     feats_list: List[jax.Array] = []

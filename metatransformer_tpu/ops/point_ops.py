@@ -59,6 +59,19 @@ def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
     return idxs  # slot 0 already holds index 0
 
 
+def masked_fps(points: jax.Array, mask: jax.Array, n_samples: int) -> jax.Array:
+    """FPS over a masked point set -> idx [B, n_samples]. Invalid points
+    are collapsed onto the first valid point's coordinates so FPS never
+    prefers them (a far sentinel would be maximally distant and get
+    picked first — the opposite of ignoring it)."""
+    first_valid = jnp.argmax(mask, axis=-1)  # [B]
+    anchor = jnp.take_along_axis(
+        points, first_valid[:, None, None], axis=1
+    )  # [B, 1, 3]
+    safe = jnp.where(mask[..., None], points, anchor)
+    return furthest_point_sample(safe, n_samples)
+
+
 def random_sample(key: jax.Array, points: jax.Array, n_samples: int) -> jax.Array:
     """Random subsample indices (the reference's cheap fallback,
     ``subsample.py random_sample``)."""

@@ -67,6 +67,7 @@ def _register_builtins() -> None:
         point_rcnn,
         point_segmenter,
         pv_rcnn,
+        pv_rcnn_pp,
         second,
         second_iou,
         segmentor,
@@ -95,6 +96,7 @@ def _register_builtins() -> None:
         "IASSD": iassd,  # instance-aware single-stage point detector
         "SECONDNetIoU": second_iou,  # SECOND + IoU confidence head (SSL workhorse)
         "PartA2Net": part_a2,  # part-aware two-stage detector (sparse UNet)
+        "PVRCNNPlusPlus": pv_rcnn_pp,  # SPC keypoints + VectorPool aggregation
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
