@@ -55,6 +55,7 @@ def _register_builtins() -> None:
 
     from metatransformer_tpu.models import (
         audio_classifier,
+        caddn,
         centerpoint,
         graph_predictor,
         hyper_classifier,
@@ -97,6 +98,7 @@ def _register_builtins() -> None:
         "SECONDNetIoU": second_iou,  # SECOND + IoU confidence head (SSL workhorse)
         "PartA2Net": part_a2,  # part-aware two-stage detector (sparse UNet)
         "PVRCNNPlusPlus": pv_rcnn_pp,  # SPC keypoints + VectorPool aggregation
+        "CaDDN": caddn,  # monocular camera detector (categorical depth)
         "MetaTransformerMultiView": point_multiview,
         "MaskRCNN": types.SimpleNamespace(
             init=mask_rcnn.init,
