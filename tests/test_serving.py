@@ -1,0 +1,75 @@
+"""Batching dispatcher: bucket grouping, padding, program reuse
+(serving story over pipeline.encode_bucketed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metatransformer_tpu import pipeline, serving
+from metatransformer_tpu.core import encoder as enc
+
+
+def _setup():
+    cfg = serving.ServingConfig(
+        encoder=enc.EncoderConfig(dim=32, depth=2, num_heads=2),
+        precision=enc.FP32,
+    )
+    key = jax.random.PRNGKey(0)
+    img = pipeline.Data2Seq("image", dim=32)
+    import dataclasses
+    img = pipeline.Data2Seq(
+        "image", dim=32,
+        config=dataclasses.replace(img.config, img_size=32, dim=32),
+    )
+    tok_params = img.init(key)
+    enc_params = enc.init(cfg.encoder, jax.random.PRNGKey(1))
+    disp = serving.Dispatcher({"image": (img, tok_params)}, enc_params, cfg)
+    return disp, cfg
+
+
+def test_batch_bucket_ladder():
+    assert serving.batch_bucket(1, (1, 2, 4)) == 1
+    assert serving.batch_bucket(3, (1, 2, 4)) == 4
+    try:
+        serving.batch_bucket(9, (1, 2, 4))
+        assert False
+    except ValueError:
+        pass
+
+
+def test_dispatcher_serves_mixed_batch_in_order():
+    disp, cfg = _setup()
+    rng = np.random.default_rng(0)
+    reqs = [
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32), request_id=i)
+        for i in range(3)
+    ]
+    out = disp.serve(reqs)
+    assert len(out) == 3
+    assert all(o.shape == (32,) for o in out)
+    # identical inputs -> identical features; distinct -> distinct
+    out2 = disp.serve([reqs[0]])
+    np.testing.assert_allclose(out[0], out2[0], atol=1e-5)
+    assert np.abs(out[0] - out[1]).max() > 1e-6
+
+    # program reuse: 3 requests of one length -> one (T=64, B=4) group,
+    # single request -> (T=64, B=1); two executables total
+    assert disp.num_programs == 2
+    assert disp.stats[(64, 4)] == 1 and disp.stats[(64, 1)] == 1
+
+
+def test_dispatcher_pooling_ignores_padding():
+    """A request padded into a larger batch bucket must produce the same
+    features as served alone (mask + per-request crop)."""
+    disp, cfg = _setup()
+    rng = np.random.default_rng(1)
+    base = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    alone = disp.serve([serving.Request("image", base)])[0]
+    others = [
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32))
+        for _ in range(2)
+    ]
+    mixed = disp.serve([serving.Request("image", base)] + others)[0]
+    np.testing.assert_allclose(alone, mixed, atol=1e-5)
