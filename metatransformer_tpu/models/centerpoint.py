@@ -63,6 +63,10 @@ class CenterPointConfig:
     max_objs: int = 500
     gaussian_overlap: float = 0.1
     min_radius: int = 2
+    # "centerpoint" keeps the upstream divide-by-2 radius quirk;
+    # "3dal" uses the corrected roots (centernet_utils.gaussian_radius_3dal,
+    # the CenterPoint3DAL auto-label variant)
+    radius_mode: str = "centerpoint"
     # losses
     cls_weight: float = 1.0
     loc_weight: float = 2.0
@@ -237,20 +241,26 @@ def forward(
 # --- target assignment ------------------------------------------------------
 
 
-def gaussian_radius(height: jax.Array, width: jax.Array, min_overlap: float) -> jax.Array:
-    """CornerNet radius (centernet_utils.py:9-35), vectorized. All three
-    roots divide by 2 — NOT 2a — reproducing the upstream CenterNet quirk
-    the reference keeps (its _3dal variant is the corrected one)."""
+def gaussian_radius(height: jax.Array, width: jax.Array, min_overlap: float,
+                    mode: str = "centerpoint") -> jax.Array:
+    """CornerNet radius (centernet_utils.py:9-35), vectorized. In
+    "centerpoint" mode all three roots divide by 2 — NOT 2a —
+    reproducing the upstream CenterNet quirk the reference keeps;
+    "3dal" divides by 2a (gaussian_radius_3dal, centernet_utils.py:37-62,
+    generally smaller radii)."""
+    d2, d8, d3 = (2.0, 2.0, 2.0) if mode == "centerpoint" else (
+        2.0, 8.0, 8.0 * min_overlap
+    )
     b1 = height + width
     c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
-    r1 = (b1 + jnp.sqrt(jnp.maximum(b1**2 - 4 * c1, 0.0))) / 2
+    r1 = (b1 + jnp.sqrt(jnp.maximum(b1**2 - 4 * c1, 0.0))) / d2
     b2 = 2 * (height + width)
     c2 = (1 - min_overlap) * width * height
-    r2 = (b2 + jnp.sqrt(jnp.maximum(b2**2 - 16 * c2, 0.0))) / 2
+    r2 = (b2 + jnp.sqrt(jnp.maximum(b2**2 - 16 * c2, 0.0))) / d8
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
-    r3 = (b3 + jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))) / 2
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))) / d3
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
@@ -273,7 +283,9 @@ def assign_targets(
     dxf = gt_boxes[:, 3] / vx / s
     dyf = gt_boxes[:, 4] / vy / s
     radius = jnp.maximum(
-        gaussian_radius(dyf, dxf, cfg.gaussian_overlap).astype(jnp.int32),
+        gaussian_radius(
+            dyf, dxf, cfg.gaussian_overlap, cfg.radius_mode
+        ).astype(jnp.int32),
         cfg.min_radius,
     )
     ok = gt_valid & (dxf > 0) & (dyf > 0)

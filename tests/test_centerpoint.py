@@ -147,3 +147,38 @@ def test_decode_recovers_planted_peak():
     np.testing.assert_allclose(out["boxes"][top][:2], [2.0, 0.4], atol=1e-5)
     np.testing.assert_allclose(out["boxes"][top][3:6], [3.2, 1.6, 1.5], rtol=1e-5)
     np.testing.assert_allclose(out["boxes"][top][6], 0.3, atol=1e-5)
+
+
+def test_gaussian_radius_3dal_formula():
+    """The 3DAL variant divides every root by 2a
+    (gaussian_radius_3dal, centernet_utils.py:37-62) — differs from the
+    upstream-quirk mode and matches the corrected closed form."""
+    h = jnp.asarray([4.0, 10.0, 2.5])
+    w = jnp.asarray([6.0, 3.0, 2.5])
+    base = np.asarray(cp.gaussian_radius(h, w, 0.1, "centerpoint"))
+    corr = np.asarray(cp.gaussian_radius(h, w, 0.1, "3dal"))
+    assert (corr != base).any()
+    # full formula check at one point: corrected r2 /8, r3 /(2*a3)
+    hh, ww, o = 4.0, 6.0, 0.1
+    b2 = 2 * (hh + ww)
+    c2 = (1 - o) * ww * hh
+    r2 = (b2 + np.sqrt(b2**2 - 16 * c2)) / 8
+    a3 = 4 * o
+    b3 = -2 * o * (hh + ww)
+    c3 = (o - 1) * ww * hh
+    r3 = (b3 + np.sqrt(b3**2 - 4 * a3 * c3)) / (2 * a3)
+    b1 = hh + ww
+    c1 = ww * hh * (1 - o) / (1 + o)
+    r1 = (b1 + np.sqrt(b1**2 - 4 * c1)) / 2
+    want = min(r1, r2, r3)
+    got = float(cp.gaussian_radius(jnp.asarray([hh]), jnp.asarray([ww]), o, "3dal")[0])
+    assert abs(got - want) < 1e-4
+
+
+def test_assign_targets_3dal_mode_runs():
+    import dataclasses as dc
+
+    cfg = dc.replace(SMALL, radius_mode="3dal")
+    gt = jnp.asarray([[2.0, 0.5, -1.0, 3.2, 1.6, 1.5, 0.3]])
+    t = cp.assign_targets(gt, jnp.asarray([1]), jnp.asarray([True]), cfg)
+    assert float(t["heatmap"].max()) == 1.0
