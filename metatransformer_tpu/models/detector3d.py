@@ -324,6 +324,10 @@ def detection_loss(
             alpha_t * (1 - pt) ** 2 * ce * valid[:, None]
         ) / jnp.maximum(jnp.sum(fg), 1.0)
         matched = gt[gt_idx]
+        # background/pad rows may hold zero-size boxes: encode would emit
+        # log(0) = -inf and 0 * inf = NaN through the fg mask — substitute
+        # the anchor itself (delta 0) for non-foreground rows
+        matched = jnp.where(fg[:, None], matched, anchors)
         target_deltas = encode_boxes(matched, anchors)
         # sin-difference trick for heading (pcdet add_sin_difference)
         pr, tr = box_deltas[:, 6], target_deltas[:, 6]
