@@ -139,3 +139,44 @@ def mask2former_semantic(all_cls, all_masks, out_hw):
     sem = m2f.semantic_inference(all_cls[-1], all_masks[-1])
     b, _, _, c = sem.shape
     return jax.image.resize(sem, (b, out_hw[0], out_hw[1], c), "bilinear")
+
+
+def tta_inference(
+    params: Dict[str, Any],
+    images: jax.Array,  # [B, H, W, 3]
+    cfg: SegmentorConfig,
+    scales=(0.75, 1.0, 1.25),
+    flip: bool = True,
+    precision: enc.Precision = enc.FP32,
+) -> jax.Array:
+    """Multi-scale + horizontal-flip test-time augmentation
+    (the reference's aug segmentor,
+    ``mmseg_custom/models/segmentors/encoder_decoder_mask2former_aug.py``:
+    run each scale/flip, resize logits to the original resolution,
+    un-flip, average softmax probabilities) -> [B, H, W, num_classes].
+
+    Scaled sizes snap to patch-size multiples so every scale hits a
+    valid (and cacheable) backbone geometry.
+    """
+    b, h, w, _ = images.shape
+    ps = cfg.backbone.patch_size
+    probs = None
+    n = 0
+    for s in scales:
+        sh = max(ps, int(round(h * s / ps)) * ps)
+        sw = max(ps, int(round(w * s / ps)) * ps)
+        scaled = jax.image.resize(images, (b, sh, sw, 3), "bilinear")
+        variants = [scaled]
+        if flip:
+            variants.append(scaled[:, :, ::-1])
+        for vi, v in enumerate(variants):
+            logits = forward(params, v, cfg, precision)
+            if vi == 1:
+                logits = logits[:, :, ::-1]
+            logits = jax.image.resize(
+                logits, (b, h, w, logits.shape[-1]), "bilinear"
+            )
+            p = jax.nn.softmax(logits, axis=-1)
+            probs = p if probs is None else probs + p
+            n += 1
+    return probs / n

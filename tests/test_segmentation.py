@@ -116,3 +116,32 @@ def test_segmentor_end_to_end_and_loss():
         float(jnp.abs(g["backbone"]["interaction0"]["ext_attn"]["value_w"]).max())
         > 0
     )
+
+
+def test_tta_inference_flip_and_scale_averaging():
+    """TTA = average of softmax over (scale, flip) variants with the
+    flip undone — checked against an explicit two-pass construction."""
+    cfg = _small_cfg()
+    scfg = segmentor.SegmentorConfig(backbone=cfg, num_classes=5)
+    params = segmentor.init(scfg, jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 64, 64, 3)), np.float32
+    )
+    probs = segmentor.tta_inference(
+        params, img, scfg, scales=(1.0,), flip=True
+    )
+    assert probs.shape == (1, 64, 64, 5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+    # explicit construction of the same average
+    p1 = jax.nn.softmax(segmentor.forward(params, img, scfg), axis=-1)
+    p2 = jax.nn.softmax(
+        segmentor.forward(params, img[:, :, ::-1], scfg), axis=-1
+    )[:, :, ::-1]
+    np.testing.assert_allclose(
+        np.asarray(probs), np.asarray((p1 + p2) / 2), atol=1e-5
+    )
+    # multi-scale path also runs and normalizes
+    probs_ms = segmentor.tta_inference(
+        params, img, scfg, scales=(0.75, 1.0), flip=False
+    )
+    np.testing.assert_allclose(np.asarray(probs_ms.sum(-1)), 1.0, atol=1e-4)
