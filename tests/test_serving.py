@@ -73,3 +73,45 @@ def test_dispatcher_pooling_ignores_padding():
     ]
     mixed = disp.serve([serving.Request("image", base)] + others)[0]
     np.testing.assert_allclose(alone, mixed, atol=1e-5)
+
+
+def test_dispatcher_mixed_modalities_share_programs():
+    """Image and time-series requests of different native lengths are
+    served through one dispatcher: per-modality tokenizers, shared
+    encoder, bucket grouping across modalities."""
+    import dataclasses
+
+    cfg = serving.ServingConfig(
+        encoder=enc.EncoderConfig(dim=32, depth=2, num_heads=2),
+        precision=enc.FP32,
+    )
+    key = jax.random.PRNGKey(0)
+    img = pipeline.Data2Seq("image", dim=32)
+    img = pipeline.Data2Seq(
+        "image", dim=32,
+        config=dataclasses.replace(img.config, img_size=32, dim=32),
+    )
+    ts = pipeline.Data2Seq("time-series", dim=32)
+    toks = {
+        "image": (img, img.init(key)),
+        "time-series": (ts, ts.init(jax.random.PRNGKey(1))),
+    }
+    disp = serving.Dispatcher(toks, enc.init(cfg.encoder, jax.random.PRNGKey(2)), cfg)
+
+    rng = np.random.default_rng(4)
+    reqs = [
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32)),
+        serving.Request("time-series", jnp.asarray(
+            rng.standard_normal((1, 48, 1)), jnp.float32)),
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32)),
+    ]
+    out = disp.serve(reqs)
+    assert len(out) == 3
+    assert all(o.shape == (32,) for o in out)
+    assert all(np.isfinite(o).all() for o in out)
+    # image tokens (4x4=16 -> bucket 64) and ts tokens (48 -> bucket 64)
+    # land in ONE shared group: a single executable served everything
+    assert disp.num_programs == 1
+    assert disp.stats[(64, 4)] == 1
