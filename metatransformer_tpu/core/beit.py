@@ -74,6 +74,25 @@ def relative_position_index(window: Tuple[int, int]) -> np.ndarray:
     return idx
 
 
+def windowed_relative_position_index(
+    full_window: Tuple[int, int], win: int
+) -> np.ndarray:
+    """[win*win, win*win] indices into the FULL-grid rel-pos table for a
+    win x win attention window (no cls row): in-window relative offsets
+    are a subset of the full grid's, so the shared table serves windowed
+    blocks too — only the row stride (2*W_full - 1) changes."""
+    wh, ww = full_window
+    coords = np.stack(
+        np.meshgrid(np.arange(win), np.arange(win), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
 def param_shapes(cfg: BEiTConfig) -> Dict[str, tuple]:
     d, m, h = cfg.dim, cfg.mlp_dim, cfg.num_heads
     return {

@@ -293,8 +293,14 @@ def apply(
                 beit_mod.relative_position_index((gh, gw))[1:, 1:]
             )
 
-            def blk(carry, lp):
-                return beit_mod.block(carry, lp, bcfg, rel_idx, precision), None
+            rel_idx_win = jnp.asarray(
+                beit_mod.windowed_relative_position_index(
+                    (gh, gw), cfg.window_size
+                )
+            )
+
+            def blk(carry, lp, ridx=rel_idx):
+                return beit_mod.block(carry, lp, bcfg, ridx, precision), None
 
         elif cfg.block_type == "uniperceiver":
             from metatransformer_tpu.core import beit as beit_mod
@@ -318,7 +324,11 @@ def apply(
 
             for j, use_w in enumerate(win_flags):
                 lp = {k: v[j] for k, v in enc_layers.items()}
-                body = lambda h, lp=lp: blk(h, lp)[0]
+                if use_w and cfg.block_type == "beit":
+                    # shared rel-pos table, window-strided indices
+                    body = lambda h, lp=lp: blk(h, lp, rel_idx_win)[0]
+                else:
+                    body = lambda h, lp=lp: blk(h, lp)[0]
                 if use_w:
                     x = win.windowed_block(x, body, gh, gw, cfg.window_size)
                 else:
@@ -346,10 +356,6 @@ def apply(
         hffn = jnp.dot(hffn, ip["ffn_fc2_w"], precision=MM) + ip["ffn_fc2_b"]
         return x, c_tokens + hffn
 
-    if cfg.window_attn is not None and cfg.block_type == "beit":
-        raise NotImplementedError(
-            "windowed BEiT blocks need window-sized rel-pos tables"
-        )
     idxs = cfg.interaction_indexes
     lengths = {hi - lo + 1 for lo, hi in idxs}
     contiguous = all(

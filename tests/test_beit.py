@@ -165,3 +165,44 @@ def test_uniperceiver_adapter_forward():
     feats = vit_adapter.apply(params, x, cfg)
     assert [f.shape[1:3] for f in feats] == [(16, 16), (8, 8), (4, 4), (2, 2)]
     assert all(np.isfinite(np.asarray(f)).all() for f in feats)
+
+
+def test_windowed_relative_position_index_subsets_full():
+    """For win == full grid, the windowed index equals the full index's
+    non-cls block; for smaller windows every index stays in table range."""
+    full = beit.relative_position_index((4, 4))
+    win_full = beit.windowed_relative_position_index((4, 4), 4)
+    np.testing.assert_array_equal(win_full, full[1:, 1:])
+    win2 = beit.windowed_relative_position_index((4, 4), 2)
+    assert win2.shape == (4, 4)
+    nrd = (2 * 4 - 1) * (2 * 4 - 1)
+    assert win2.min() >= 0 and win2.max() < nrd
+    # diagonal = zero offset = same table row as the full grid's diagonal
+    assert (np.diag(win2) == full[1, 1]).all()
+
+
+def test_windowed_beit_adapter_forward():
+    import dataclasses as dc
+
+    from metatransformer_tpu.core import encoder as enc_mod
+    from metatransformer_tpu.models import vit_adapter
+
+    base = vit_adapter.ViTAdapterConfig(
+        encoder=enc_mod.EncoderConfig(dim=64, depth=4, num_heads=2),
+        img_size=64,
+        conv_inplane=16,
+        deform_num_heads=2,
+        interaction_indexes=((0, 1), (2, 3)),
+        block_type="beit",
+    )
+    params = vit_adapter.init(base, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, 64, 64, 3)), np.float32
+    )
+    out_g = vit_adapter.apply(params, x, base)
+    cfg_w = dc.replace(base, window_attn=(True, False, True, False),
+                       window_size=2)
+    out_w = vit_adapter.apply(params, x, cfg_w)
+    assert [f.shape for f in out_w] == [f.shape for f in out_g]
+    assert all(np.isfinite(np.asarray(f)).all() for f in out_w)
+    assert np.abs(np.asarray(out_w[1]) - np.asarray(out_g[1])).max() > 1e-5
