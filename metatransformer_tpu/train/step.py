@@ -49,17 +49,31 @@ def make_train_step(
     def train_step(trainable, frozen, opt_state, batch, rng):
         def compute_loss(tr):
             logits = forward(merge_params(tr, frozen), batch["input"], rng)
-            return loss_fn(logits, batch["label"]), logits
+            return loss_fn(logits, batch.get("label")), logits
 
         (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             trainable
         )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        metrics = {
-            "loss": loss,
-            "acc": jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32)),
-        }
+        # Accuracy only makes sense when forward returns class logits and
+        # the label is an integer id per sample; structured tasks (detection,
+        # segmentation-with-loss-in-forward) report loss only. Shapes are
+        # static under trace, so this is a Python-level branch.
+        label = batch.get("label")
+        is_cls = (
+            label is not None
+            and hasattr(logits, "ndim")
+            and hasattr(label, "ndim")
+            and logits.ndim == label.ndim + 1
+            and jnp.issubdtype(jnp.asarray(label).dtype, jnp.integer)
+        )
+        acc = (
+            jnp.mean((jnp.argmax(logits, -1) == label).astype(jnp.float32))
+            if is_cls
+            else jnp.zeros(())
+        )
+        metrics = {"loss": loss, "acc": acc}
         return trainable, opt_state, metrics
 
     return train_step

@@ -56,6 +56,7 @@ class Trainer:
         loss_fn=step_lib.cross_entropy_loss,
         frozen_keys=step_lib.FROZEN_KEYS,
         val_metric: Optional[Callable] = None,
+        jit_step: bool = True,
     ):
         self.cfg = cfg
         self.logger = setup_logger()
@@ -63,9 +64,12 @@ class Trainer:
         self.optimizer = optimizer
         self.opt_state = optimizer.init(self.trainable)
         self.forward = forward
-        self._step = jax.jit(
-            step_lib.make_train_step(forward, optimizer, loss_fn),
-            donate_argnums=(0, 2),
+        # jit_step=False supports losses with host-side stages (e.g. the
+        # Mask2Former Hungarian matching runs scipy per decoder layer);
+        # value_and_grad still works eagerly there.
+        raw_step = step_lib.make_train_step(forward, optimizer, loss_fn)
+        self._step = (
+            jax.jit(raw_step, donate_argnums=(0, 2)) if jit_step else raw_step
         )
         self._eval = jax.jit(lambda tr, fr, x: forward({**tr, **fr}, x, None))
         self.ema_params = (

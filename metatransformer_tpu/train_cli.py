@@ -112,20 +112,24 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--steps-per-epoch", type=int, default=8)
     p.add_argument("--work-dir", default=None)
+    p.add_argument(
+        "--smoke", action="store_true",
+        help="tiny-geometry structurally-identical model + synthetic data "
+             "(every recipe is executable on CPU in seconds)",
+    )
     p.add_argument("overrides", nargs="*", help="key=value config overrides")
     args = p.parse_args(argv)
 
-    cfg = load_config(args.cfg, args.overrides)
-    modality = cfg.modality
-    if modality not in BUILDERS:
-        raise SystemExit(f"no CLI builder for modality {modality!r} yet")
+    from metatransformer_tpu import recipes
 
-    params, forward, synth = BUILDERS[modality](cfg, jax.random.PRNGKey(cfg.seed))
+    cfg = load_config(args.cfg, args.overrides)
+    recipe = recipes.build(cfg, jax.random.PRNGKey(cfg.seed), smoke=args.smoke)
+    params, forward, synth = recipe.params, recipe.forward, recipe.synth
     if args.ckpt:
         loader = convert.convert_pth if args.ckpt.endswith(".pth") else convert.load_npz
         params["encoder"], _ = loader(args.ckpt)
 
-    epochs = args.epochs or cfg.train.epochs
+    epochs = args.epochs or cfg.train.get("epochs", 1)
     batch_size = cfg.train.batch_size
     total_steps = epochs * args.steps_per_epoch
     sched_name = cfg.train.get("schedule", "cosine")
@@ -161,19 +165,31 @@ def main(argv=None) -> int:
     # encoder.frozen: false -> full finetune (the reference's tuned recipes,
     # e.g. Audio 97% acc at 86.3M trainable params)
     frozen_keys = ("encoder",) if cfg.encoder.get("frozen", True) else ()
+    trainer_kwargs = {}
+    if recipe.loss_fn is not None:
+        trainer_kwargs["loss_fn"] = recipe.loss_fn
     trainer = Trainer(
         forward, tx, params,
         frozen_keys=frozen_keys,
+        jit_step=recipe.jit_step,
         cfg=TrainerConfig(
             epochs=epochs,
             ckpt_dir=args.work_dir,
             log_every=max(args.steps_per_epoch // 2, 1),
             early_stop_patience=cfg.train.get("early_stop_patience"),
+            best_mode=recipe.best_mode,
         ),
+        **trainer_kwargs,
     )
     log = trainer.fit(
         lambda: synth(batch_size, args.steps_per_epoch, cfg.seed),
-        val_data=lambda: synth(batch_size, 2, cfg.seed + 1),
+        # the generic val loop assumes class logits; structured tasks
+        # (detection/segmentation losses in forward) train-only here
+        val_data=(
+            (lambda: synth(batch_size, 2, cfg.seed + 1))
+            if recipe.classification
+            else None
+        ),
     )
     print("final:", {k: round(v, 4) if isinstance(v, float) else v
                      for k, v in log.items()})
