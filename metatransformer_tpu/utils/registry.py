@@ -112,6 +112,24 @@ def _register_builtins() -> None:
             Config=segmentor.Mask2FormerSegmentorConfig,
         ),
     }
+    from metatransformer_tpu.models import htc, mdf_detectors
+
+    pairs["HTC"] = types.SimpleNamespace(  # interleaved cascade (htc++)
+        init=htc.init,
+        forward=htc.forward_test,
+        forward_train=htc.forward_train,
+        Config=htc.HTCConfig,
+    )
+    pairs["MDFSECONDNet"] = types.SimpleNamespace(  # multi-dataset fusion
+        init=mdf_detectors.init,
+        forward=mdf_detectors.forward,
+        Config=mdf_detectors.MDFSECONDConfig,
+    )
+    pairs["MDFCenterPoint"] = types.SimpleNamespace(
+        init=mdf_detectors.init_centerpoint,
+        forward=mdf_detectors.forward_centerpoint,
+        Config=mdf_detectors.MDFCenterPointConfig,
+    )
     for name, mod in pairs.items():
         if name not in MODELS:
             MODELS._entries[name] = mod
