@@ -348,23 +348,22 @@ def propose(
     cfg: PointRCNNConfig,
 ):
     """Per-point decoded boxes -> NMS proposals
-    (point_head_box.generate_predicted_boxes + proposal_layer)."""
-    b = xyz.shape[0]
-    rois, scores, valids = [], [], []
-    for i in range(b):
-        probs = jax.nn.sigmoid(cls_logits[i])
-        s = jnp.max(probs, axis=-1) * mask[i]
+    (point_head_box.generate_predicted_boxes + proposal_layer).
+    vmapped over the batch: one compiled NMS program regardless of B."""
+
+    def one(xyz_i, cls_i, enc_i, mask_i):
+        probs = jax.nn.sigmoid(cls_i)
+        s = jnp.max(probs, axis=-1) * mask_i
         lab = jnp.argmax(probs, axis=-1)
-        boxes = point_decode_boxes(box_enc[i], xyz[i], lab, cfg.mean_sizes)
+        boxes = point_decode_boxes(enc_i, xyz_i, lab, cfg.mean_sizes)
         k = min(cfg.proposal_pre, s.shape[0])
         top_s, top_i = jax.lax.top_k(s, k)
         sel, valid = iou3d.nms_bev(
             boxes[top_i], top_s, cfg.proposal_nms_thresh, cfg.num_rois
         )
-        rois.append(boxes[top_i][sel])
-        scores.append(top_s[sel])
-        valids.append(valid)
-    return jnp.stack(rois), jnp.stack(scores), jnp.stack(valids)
+        return boxes[top_i][sel], top_s[sel], valid
+
+    return jax.vmap(one)(xyz, cls_logits, box_enc, mask)
 
 
 def roi_point_pool(

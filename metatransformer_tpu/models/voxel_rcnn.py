@@ -244,22 +244,24 @@ def propose(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Stage-1 outputs -> (rois [B, R, 7], roi_scores [B, R],
     roi_valid [B, R]) via top-k + rotated NMS
-    (roi_head_template.proposal_layer)."""
-    b = preds["cls_logits"].shape[0]
-    rois, scores, valids = [], [], []
-    for i in range(b):
-        probs = jax.nn.sigmoid(preds["cls_logits"][i])
+    (roi_head_template.proposal_layer).
+
+    Batched via vmap (NOT a Python loop): the rotated-NMS program is
+    compiled once and vectorized over the batch axis, so compile time is
+    independent of batch size (round-1 measured ~285 s/sample unrolled)."""
+
+    def one(cls_logits, box_deltas):
+        probs = jax.nn.sigmoid(cls_logits)
         s_all = jnp.max(probs, axis=-1)
         k = min(cfg.proposal_pre, s_all.shape[0])
         top_s, top_i = jax.lax.top_k(s_all, k)
-        boxes = decode_boxes(preds["box_deltas"][i][top_i], anchors[top_i])
+        boxes = decode_boxes(box_deltas[top_i], anchors[top_i])
         sel, valid = iou3d.nms_bev(
             boxes, top_s, cfg.proposal_nms_thresh, cfg.num_rois
         )
-        rois.append(boxes[sel])
-        scores.append(top_s[sel])
-        valids.append(valid)
-    return jnp.stack(rois), jnp.stack(scores), jnp.stack(valids)
+        return boxes[sel], top_s[sel], valid
+
+    return jax.vmap(one)(preds["cls_logits"], preds["box_deltas"])
 
 
 # --- proposal target layer --------------------------------------------------

@@ -88,3 +88,146 @@ def test_second_loss_decreases():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.5 * losses[0], losses[::6]
+
+
+# ---------------------------------------------------------------------------
+# Two-stage detectors: overfit-one-batch proofs + stage-2 gradient flow.
+# The proposal/target plumbing (sampling, RoI pooling, soft labels) is where
+# silent gradient-killing bugs live — forward/loss-shape checks can't catch
+# them (the reference trains all of these to checkpoint-zoo quality,
+# AutonomousDriving/README.md:13-17).
+#
+# Note on the reg branch: like pcdet, the rcnn reg/corner losses are
+# foreground-gated (reg_fg_thresh IoU), so at random init they carry no
+# gradient by construction. We therefore assert reg-branch gradient flow
+# AFTER the overfit (when real fg proposals exist) — and for PointRCNN,
+# whose toy-scale proposals stay below the gate, by injecting gt-jittered
+# proposals directly (a pure plumbing proof).
+# ---------------------------------------------------------------------------
+
+
+def _one_box_batch(seed=13, n=128):
+    pts = _points(seed, n)
+    gt = jnp.asarray([[[2.0, 0.5, -1.0, 3.2, 1.6, 1.5, 0.3],
+                       [0, 0, 0, 0, 0, 0, 0]]], jnp.float32)
+    gv = jnp.asarray([[True, False]])
+    return pts, gt, gv
+
+
+def _run_overfit(params, loss_fn, steps=40, lr=3e-3):
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, loss
+
+    losses = []
+    for _ in range(steps):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    return params, losses
+
+
+def _assert_grads(grads, keys):
+    for k in keys:
+        leaf = grads[k]["w"] if isinstance(grads[k], dict) else grads[k]
+        assert float(jnp.abs(leaf).max()) > 0, f"no gradient through {k}"
+
+
+def test_voxel_rcnn_overfits_one_batch():
+    from metatransformer_tpu.models import voxel_rcnn as vr
+    from tests.test_voxel_rcnn import SMALL as CFG
+
+    params = vr.init(CFG, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(second.generate_anchors(CFG.stage1))
+    pts, gt, gv = _one_box_batch()
+
+    def loss_fn(p):
+        return vr.training_loss(p, pts, gt, gv, anchors, CFG)[0]
+
+    params, losses = _run_overfit(params, loss_fn)
+    assert losses[-1] < 0.3 * losses[0], losses[::8]
+    # overfit proposals cross the fg gate -> the whole stage-2 head trains
+    _assert_grads(jax.grad(loss_fn)(params), ["reg_pred", "cls_pred"])
+
+
+def test_pv_rcnn_overfits_one_batch():
+    from metatransformer_tpu.models import pv_rcnn as pv
+    from tests.test_pv_rcnn import SMALL as CFG
+
+    params = pv.init(CFG, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(second.generate_anchors(CFG.stage1))
+    pts, gt, gv = _one_box_batch(17)
+
+    def loss_fn(p):
+        return pv.training_loss(p, pts, gt, gv, anchors, CFG)[0]
+
+    params, losses = _run_overfit(params, loss_fn)
+    assert losses[-1] < 0.3 * losses[0], losses[::8]
+    _assert_grads(jax.grad(loss_fn)(params), ["reg_pred", "cls_pred"])
+
+
+def test_part_a2_overfits_one_batch():
+    from metatransformer_tpu.models import part_a2 as pa
+    from tests.test_part_a2 import SMALL as CFG
+
+    params = pa.init(CFG, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(second.generate_anchors(CFG.stage1))
+    pts, gt, gv = _one_box_batch(23)
+
+    def loss_fn(p):
+        return pa.training_loss(p, pts, gt, gv, anchors, CFG)[0]
+
+    params, losses = _run_overfit(params, loss_fn, steps=100)
+    assert losses[-1] < 0.3 * losses[0], losses[::12]
+    _assert_grads(jax.grad(loss_fn)(params), ["reg_pred", "cls_pred"])
+
+
+def test_point_rcnn_overfits_one_batch():
+    from metatransformer_tpu.models import point_rcnn as pr
+    from tests.test_point_rcnn import SMALL as CFG
+
+    params = pr.init(CFG, jax.random.PRNGKey(0))
+    pts, gt, gv = _one_box_batch(19)
+    gl = jnp.asarray([[1, 0]], jnp.int32)
+
+    def loss_fn(p):
+        return pr.training_loss(p, pts, gt, gl, gv, CFG)[0]
+
+    _, losses = _run_overfit(params, loss_fn)
+    assert losses[-1] < 0.3 * losses[0], losses[::8]
+
+
+def test_point_rcnn_stage2_gradient_flow(monkeypatch):
+    """Inject gt-jittered proposals past the RPN: gradients must reach the
+    rcnn reg/cls heads through sample -> point-pool -> refine -> loss."""
+    from metatransformer_tpu.models import point_rcnn as pr
+    from tests.test_point_rcnn import SMALL as CFG
+
+    params = pr.init(CFG, jax.random.PRNGKey(0))
+    pts, gt, gv = _one_box_batch(19)
+    gl = jnp.asarray([[1, 0]], jnp.int32)
+
+    rng = np.random.default_rng(5)
+    jitter = jnp.asarray(
+        rng.uniform(-0.1, 0.1, (1, CFG.num_rois, 7)).astype(np.float32)
+    )
+    rois = gt[:, :1].repeat(CFG.num_rois, axis=1) + jitter
+
+    def fake_propose(xyz, cls_logits, box_enc, mask, cfg):
+        b = xyz.shape[0]
+        return (
+            rois,
+            jnp.ones((b, cfg.num_rois)),
+            jnp.ones((b, cfg.num_rois), bool),
+        )
+
+    monkeypatch.setattr(pr, "propose", fake_propose)
+    g = jax.grad(
+        lambda p: pr.training_loss(p, pts, gt, gl, gv, CFG)[0]
+    )(params)
+    _assert_grads(g, ["rcnn_reg_pred", "rcnn_cls_pred"])
