@@ -320,11 +320,23 @@ def rcnn_init(cfg: RCNNConfig, key: jax.Array) -> Params:
     flat = cfg.channels * cfg.roi_size * cfg.roi_size
     p: Params = {"stages": []}
     for _ in range(cfg.num_stages):
+        # mmdet bbox-head init: cls std 0.01, reg std 0.001 — near-zero
+        # deltas at init keep cascade stages' refined boxes on top of the
+        # proposals (large random deltas degenerate stage>0 boxes and
+        # silently zero the later-stage losses)
         p["stages"].append({
             "fc1": _fc_init(next(keys), flat, cfg.fc_dim),
             "fc2": _fc_init(next(keys), cfg.fc_dim, cfg.fc_dim),
-            "cls": _fc_init(next(keys), cfg.fc_dim, cfg.num_classes + 1),
-            "reg": _fc_init(next(keys), cfg.fc_dim, 4),  # class-agnostic
+            "cls": {
+                "w": jax.random.normal(
+                    next(keys), (cfg.fc_dim, cfg.num_classes + 1)
+                ) * 0.01,
+                "b": jnp.zeros((cfg.num_classes + 1,)),
+            },
+            "reg": {  # class-agnostic
+                "w": jax.random.normal(next(keys), (cfg.fc_dim, 4)) * 0.001,
+                "b": jnp.zeros((4,)),
+            },
         })
     if cfg.with_mask:
         convs = []
