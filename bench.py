@@ -43,6 +43,32 @@ def chained_forward(cfg, iters):
     return jax.jit(run, static_argnames=())
 
 
+def serving_latency(cfg, params, n=30):
+    """Raw-input -> logits p50/p99 latency, batch 1 (BASELINE.md's north-
+    star serving metric). Each call uses a DISTINCT host array so the axon
+    tunnel's same-input memoization can't fake the timing; the host->device
+    transfer is part of the serving path and is intentionally included."""
+    fwd = jax.jit(
+        lambda p, x: image_classifier.forward(p, x, cfg, precision=enc.BF16)
+    )
+    rng = np.random.default_rng(1)
+    imgs = [
+        rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+        for _ in range(n + 2)
+    ]
+    # warmup/compile
+    np.asarray(fwd(params, jnp.asarray(imgs[0])))
+    np.asarray(fwd(params, jnp.asarray(imgs[1])))
+    lats = []
+    for x in imgs[2:]:
+        t0 = time.perf_counter()
+        out = np.asarray(fwd(params, jnp.asarray(x)))
+        lats.append(time.perf_counter() - t0)
+        assert np.isfinite(out).all()
+    arr = np.asarray(lats) * 1e3
+    return float(np.percentile(arr, 50)), float(np.percentile(arr, 99))
+
+
 def main() -> None:
     cfg = image_classifier.ImageClassifierConfig()  # B16, 1000 classes
     params = image_classifier.init(cfg, jax.random.PRNGKey(0))
@@ -61,6 +87,8 @@ def main() -> None:
     assert np.isfinite(result)
     seq_s = batch / dt
 
+    p50, p99 = serving_latency(cfg, params)
+
     print(
         json.dumps(
             {
@@ -68,6 +96,8 @@ def main() -> None:
                 "value": round(seq_s, 2),
                 "unit": "seq/s/chip",
                 "vs_baseline": round(seq_s / TARGET_SEQ_S, 2),
+                "latency_p50_ms": round(p50, 2),
+                "latency_p99_ms": round(p99, 2),
             }
         )
     )

@@ -110,3 +110,99 @@ class Dispatcher:
         """Distinct (length, batch) shapes served — each is one XLA
         executable in steady state."""
         return len(self.stats)
+
+
+# ---------------------------------------------------------------------------
+# Daemon: queue/worker loop around the Dispatcher
+# (the reference serves via per-task demo scripts, e.g.
+# ``Image/segmentation/image_demo.py:16-40``; this is the online-serving
+# equivalent with max-wait/max-batch batching and latency accounting)
+# ---------------------------------------------------------------------------
+
+import threading
+import time
+from concurrent.futures import Future
+from queue import Empty, Queue
+
+
+class ServingDaemon:
+    """Background worker: collect requests until ``max_batch`` or
+    ``max_wait_s`` elapses, flush the group through ``Dispatcher.serve``,
+    resolve per-request futures. Records raw-input -> output latency per
+    request (the BASELINE.md p50 target's measurement point)."""
+
+    def __init__(
+        self,
+        dispatcher: Dispatcher,
+        max_batch: int = 32,
+        max_wait_s: float = 0.005,
+    ):
+        self.dispatcher = dispatcher
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self._queue: "Queue[Tuple[Request, Future, float]]" = Queue()
+        self._latencies_s: List[float] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: Request) -> Future:
+        """Enqueue one request -> Future resolving to its features."""
+        fut: Future = Future()
+        self._queue.put((request, fut, time.perf_counter()))
+        return fut
+
+    def _collect(self) -> List[Tuple[Request, Future, float]]:
+        """One flush group: first item blocks, then drain until max_batch
+        or the max-wait deadline."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except Empty:
+            return []
+        group = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(group) < self.max_batch:
+            rem = deadline - time.perf_counter()
+            if rem <= 0:
+                break
+            try:
+                group.append(self._queue.get(timeout=rem))
+            except Empty:
+                break
+        return group
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            group = self._collect()
+            if not group:
+                continue
+            reqs = [g[0] for g in group]
+            try:
+                outs = self.dispatcher.serve(reqs)
+            except Exception as exc:  # resolve every waiter with the error
+                for _, fut, _ in group:
+                    fut.set_exception(exc)
+                continue
+            done = time.perf_counter()
+            with self._lock:
+                for (_, fut, t0), out in zip(group, outs):
+                    self._latencies_s.append(done - t0)
+                    fut.set_result(out)
+
+    def latency_percentiles(self) -> Dict[str, float]:
+        """-> {"p50_ms", "p99_ms", "n"} over all served requests."""
+        with self._lock:
+            lats = list(self._latencies_s)
+        if not lats:
+            return {"p50_ms": 0.0, "p99_ms": 0.0, "n": 0}
+        arr = np.asarray(lats) * 1e3
+        return {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p99_ms": float(np.percentile(arr, 99)),
+            "n": len(arr),
+        }
+
+    def stop(self, timeout: float = 2.0) -> None:
+        self._stop.set()
+        self._thread.join(timeout=timeout)

@@ -115,3 +115,52 @@ def test_dispatcher_mixed_modalities_share_programs():
     # land in ONE shared group: a single executable served everything
     assert disp.num_programs == 1
     assert disp.stats[(64, 4)] == 1
+
+
+def test_daemon_concurrent_mixed_requests():
+    """Queue/worker daemon: concurrent submits from multiple threads all
+    resolve, match the synchronous dispatcher's output, and record
+    latency percentiles."""
+    import threading
+
+    disp, cfg = _setup()
+    rng = np.random.default_rng(7)
+    datas = [
+        jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+        for _ in range(8)
+    ]
+    want = disp.serve([serving.Request("image", d) for d in datas])
+
+    daemon = serving.ServingDaemon(disp, max_batch=4, max_wait_s=0.02)
+    futs = [None] * len(datas)
+
+    def submit(i):
+        futs[i] = daemon.submit(serving.Request("image", datas[i]))
+
+    threads = [
+        threading.Thread(target=submit, args=(i,)) for i in range(len(datas))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    outs = [f.result(timeout=30) for f in futs]
+    for got, exp in zip(outs, want):
+        np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    lat = daemon.latency_percentiles()
+    assert lat["n"] == len(datas)
+    assert 0 < lat["p50_ms"] <= lat["p99_ms"]
+    daemon.stop()
+
+
+def test_daemon_propagates_errors():
+    disp, cfg = _setup()
+    daemon = serving.ServingDaemon(disp, max_batch=2, max_wait_s=0.01)
+    bad = daemon.submit(serving.Request("nope", np.zeros((1, 2))))
+    try:
+        bad.result(timeout=30)
+        assert False, "expected an exception"
+    except KeyError:
+        pass
+    daemon.stop()
