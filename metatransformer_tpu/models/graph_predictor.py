@@ -85,3 +85,47 @@ def forward(
 def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     """GraphPredictionL1Loss (``criterions/l1_loss.py:13-14``)."""
     return jnp.mean(jnp.abs(pred.squeeze(-1) - target))
+
+
+def evaluate(
+    params: Dict[str, Any],
+    cfg: GraphPredictorConfig,
+    batches,
+    precision: enc.Precision = enc.FP32,
+) -> Dict[str, float]:
+    """MAE over an iterable of (collated graph batch, targets [B]) —
+    the reference's eval entry (``Graph/metatransformer/evaluate/
+    evaluate.py:1-137``: load checkpoint, run the valid split, report
+    MAE). Padding rows (node_num == 0) are excluded from the mean."""
+    import numpy as np
+
+    errs = []
+    for batch, targets in batches:
+        pred = np.asarray(forward(params, batch, cfg, precision=precision))[:, 0]
+        t = np.asarray(targets)
+        valid = np.asarray(batch["node_num"]) > 0
+        errs.append(np.abs(pred - t)[valid])
+    all_err = np.concatenate(errs) if errs else np.zeros((0,))
+    return {
+        "mae": float(all_err.mean()) if len(all_err) else float("nan"),
+        "n": int(len(all_err)),
+    }
+
+
+def evaluate_checkpoint(
+    ckpt_dir: str,
+    cfg: GraphPredictorConfig,
+    batches,
+    params_template: Optional[Dict[str, Any]] = None,
+) -> Dict[str, float]:
+    """Load best/latest trainable state from a Trainer checkpoint dir and
+    evaluate (evaluate.py's --ckpt-path flow over utils.checkpoint)."""
+    from metatransformer_tpu.utils import checkpoint as ckpt_lib
+
+    resumed = ckpt_lib.auto_resume(ckpt_dir)
+    if resumed is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    state, _epoch = resumed
+    params = dict(params_template or {})
+    params.update(state["trainable"])
+    return evaluate(params, cfg, batches)
