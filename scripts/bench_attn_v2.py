@@ -1,0 +1,178 @@
+"""Attention sublayer kernel v2: head-batched 3D dots inside Pallas.
+
+The shipped kernel (ops/fused_block._kernel) unrolls the 12 heads into 12
+small [T, hd] matmuls and 12 SEQUENTIAL [T, T] softmaxes — the softmax VPU
+serialization is the measured ~65%-of-peak ceiling (round-2 notes #2).
+
+v2 batches the heads into single dot_generals with a batch dimension and
+runs ONE softmax over the whole [H, T, T] (or [N, H, T, T]) slab:
+  s = dot(q [T,H,hd], k [T,H,hd]; batch H, contract hd)   -> [H, T, T]
+  p = softmax(s + bias)                                    (one VPU pass)
+  o = dot(p [H,T,T], v [T,H,hd]; batch H, contract T)     -> [H, T, hd]
+  delta = dot(o [H,T,hd], Wp [H,hd,D]; contract {H,hd})   -> [T, D]
+The final contraction also eliminates the per-head concat AND folds the
+output projection's head reduction into one MXU call.
+
+Variants:
+  hbatch1/2/4 — heads batched, N samples per program (logits VMEM:
+  N * 12 * 197^2 * 4B = 1.9/3.7/7.4 MB).
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metatransformer_tpu.core import encoder as enc
+from metatransformer_tpu.ops import fused_block as fb
+
+B, T, D, H = 128, 197, 768, 12
+ITERS = 20
+
+
+def _kernel_hbatch(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                   bproj_ref, bias_ref, o_ref, *, num_heads, head_dim,
+                   ln_eps, scale):
+    n, t, d = x_ref.shape
+    x = x_ref[:].reshape(n * t, d)
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)  # [n*t, 3D]
+
+    wp3 = wproj_ref[:].astype(x.dtype).reshape(num_heads, head_dim, d)
+    souts = []
+    for s_i in range(n):
+        sl = qkv[s_i * t : (s_i + 1) * t]
+        q = (sl[:, :d].astype(jnp.float32) * scale).astype(x.dtype)
+        q = q.reshape(t, num_heads, head_dim)
+        k = sl[:, d : 2 * d].reshape(t, num_heads, head_dim)
+        v = sl[:, 2 * d :].reshape(t, num_heads, head_dim)
+        # [H, T, T] in ONE batched MXU call
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((1,), (1,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_ref[s_i][None]  # [H, T, T] + [1, 1, T]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((2,), (0,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        )  # [H, T, hd]
+        o = (o / l).astype(x.dtype)
+        # heads + head_dim contracted together: [T, D], no concat/transpose
+        souts.append(
+            jax.lax.dot_general(
+                o, wp3, (((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    delta = jnp.concatenate(souts, axis=0) + bproj_ref[0].astype(jnp.float32)
+    o_ref[:] = (x + delta.astype(x.dtype)).reshape(n, t, d)
+
+
+def make_call(n_per):
+    def call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
+        b, t, d = x.shape
+        hd = d // num_heads
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_hbatch, num_heads=num_heads, head_dim=hd,
+                ln_eps=float(ln_eps), scale=float(hd) ** -0.5,
+            ),
+            grid=(b // n_per,),
+            in_specs=[
+                pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_per, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+            interpret=jax.default_backend() != "tpu",
+        )(x, lns.reshape(1, d), lnb.reshape(1, d), wqkv,
+          bqkv.reshape(1, 3 * d), wproj, bproj.reshape(1, d), bias[:, None, :])
+        return out
+    return call
+
+
+def main():
+    cfg = enc.EncoderConfig()
+    params = enc.init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D)).astype(jnp.bfloat16)
+    p = {k: v[0].astype(jnp.bfloat16) for k, v in params.items()}
+    bias = jnp.zeros((B, T), jnp.float32)
+
+    # correctness first: hbatch vs shipped
+    args = (x[:8], p["norm1_scale"], p["norm1_bias"], p["qkv_w"], p["qkv_b"],
+            p["proj_w"], p["proj_b"], bias[:8], 1e-5, 12)
+    want = np.asarray(fb._fused_call(*args), np.float32)
+    got = np.asarray(make_call(2)(*args), np.float32)
+    err = np.abs(got - want).max()
+    print("hbatch vs shipped max abs err:", err)
+    assert err < 0.05, err  # bf16 stream; different reduction order
+
+    def run_variant(call):
+        def step(x):
+            def body(_, c):
+                return call(
+                    c, p["norm1_scale"], p["norm1_bias"], p["qkv_w"],
+                    p["qkv_b"], p["proj_w"], p["proj_b"], bias, 1e-5, 12,
+                )
+            return jax.lax.fori_loop(0, 12, body, x)
+
+        run = jax.jit(lambda x: jnp.mean(
+            jax.lax.fori_loop(0, ITERS, lambda _, c: step(c * (1 + 1e-9)), x)
+        ).astype(jnp.float32))
+        t0 = time.perf_counter()
+        float(run(x))
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(x))
+        dt = (time.perf_counter() - t0) / ITERS
+        return tc, dt
+
+    variants = [
+        ("shipped ", fb._fused_call),
+        ("hbatch1 ", make_call(1)),
+        ("hbatch2 ", make_call(2)),
+        ("hbatch4 ", make_call(4)),
+    ]
+    times = {n: [] for n, _ in variants}
+    for r in range(3):
+        for name, call in variants:
+            try:
+                tc, dt = run_variant(call)
+            except Exception as e:
+                print(f"r{r} {name}: FAILED {type(e).__name__}: {e}")
+                times[name].append(float("inf"))
+                continue
+            times[name].append(dt * 1e3)
+            print(f"r{r} {name}: {dt*1e3:6.2f} ms/12-layer-pass (compile {tc:.1f}s)")
+    for name, ts in times.items():
+        fin = [t for t in ts if np.isfinite(t)]
+        if fin:
+            print(f"{name}: min {min(fin):6.2f}  med {sorted(fin)[len(fin)//2]:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
