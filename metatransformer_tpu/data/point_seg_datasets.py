@@ -157,3 +157,111 @@ def shapenetpart_sample(
         "category": np.int64(cat_id),
         "category_name": name,
     }
+
+
+# ---------------------------------------------------------------------------
+# SemanticKITTI
+# ---------------------------------------------------------------------------
+
+# raw label id -> train id (the learning_map in semantic-kitti.yaml;
+# openpoints/dataset/semantic_kitti pipeline). 0 = unlabeled/ignored.
+SEMANTICKITTI_LEARNING_MAP = {
+    0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5, 30: 6,
+    31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13, 51: 14, 52: 0,
+    60: 9, 70: 15, 71: 16, 72: 17, 80: 18, 81: 19, 99: 0, 252: 1, 253: 7,
+    254: 6, 255: 8, 256: 5, 257: 5, 258: 4, 259: 5,
+}
+_SK_LUT = np.zeros(1 << 16, np.int64)
+for _raw, _train in SEMANTICKITTI_LEARNING_MAP.items():
+    _SK_LUT[_raw] = _train
+
+SEMANTICKITTI_SPLITS = {
+    "train": ("00", "01", "02", "03", "04", "05", "06", "07", "09", "10"),
+    "valid": ("08",),
+    "test": ("11", "12", "13", "14", "15", "16", "17", "18", "19", "20", "21"),
+}
+
+
+def read_semantickitti_scan(path: str) -> np.ndarray:
+    """``velodyne/{frame}.bin``: float32 (x, y, z, remission) -> [N, 4]."""
+    return np.fromfile(path, np.float32).reshape(-1, 4)
+
+
+def read_semantickitti_label(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """``labels/{frame}.label``: uint32 per point — low 16 bits semantic
+    id, high 16 bits instance id -> (train labels [N], instance [N]).
+    Semantic ids pass through the learning_map (moving classes collapse
+    onto their static counterparts)."""
+    raw = np.fromfile(path, np.uint32)
+    sem = (raw & 0xFFFF).astype(np.int64)
+    inst = (raw >> 16).astype(np.int64)
+    return _SK_LUT[sem], inst
+
+
+def list_semantickitti_frames(root: str, split: str = "train") -> List[Tuple[str, str]]:
+    """``{root}/sequences/{seq}/velodyne/*.bin`` -> [(scan, label or '')]
+    for the split's sequences (test has no labels)."""
+    out = []
+    for seq in SEMANTICKITTI_SPLITS[split]:
+        vdir = os.path.join(root, "sequences", seq, "velodyne")
+        for scan in sorted(glob.glob(os.path.join(vdir, "*.bin"))):
+            frame = os.path.splitext(os.path.basename(scan))[0]
+            lab = os.path.join(root, "sequences", seq, "labels", f"{frame}.label")
+            out.append((scan, lab if os.path.exists(lab) else ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ScanNet v2 (preprocessed per-scene arrays)
+# ---------------------------------------------------------------------------
+
+# NYU40 id -> ScanNet-benchmark 20-class train id (-1 = ignored);
+# the VALID_CLASS_IDS of the benchmark (openpoints scannet pipeline).
+SCANNET20_VALID_NYU40 = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39,
+)
+_SN_LUT = np.full(41, -1, np.int64)
+for _ti, _nyu in enumerate(SCANNET20_VALID_NYU40):
+    _SN_LUT[_nyu] = _ti
+
+
+def scannet_remap_labels(nyu40_labels: np.ndarray) -> np.ndarray:
+    """NYU40 per-point labels -> 20-class train ids (-1 ignored)."""
+    lab = np.asarray(nyu40_labels, np.int64)
+    out = np.full(lab.shape, -1, np.int64)
+    valid = (lab >= 0) & (lab < 41)
+    out[valid] = _SN_LUT[lab[valid]]
+    return out
+
+
+def load_scannet_scene(path: str) -> Dict[str, np.ndarray]:
+    """Per-scene ``.npz`` with coords [N, 3], colors [N, 3] (0-255),
+    nyu40 labels [N] (the one-time preprocessing of the ply+aggregation
+    files — scannet's raw zips stay offline). -> dict with train labels
+    remapped."""
+    z = np.load(path)
+    coords = np.asarray(z["coords"], np.float32)
+    colors = np.asarray(z["colors"], np.float32)
+    labels = scannet_remap_labels(z["labels"]) if "labels" in z else None
+    out = {"coords": coords, "colors": colors}
+    if labels is not None:
+        out["labels"] = labels
+    return out
+
+
+def scannet_block_sample(
+    scene: Dict[str, np.ndarray],
+    num_points: int,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-scene random subsample -> (feat [P, 6] xyz+rgb/255,
+    labels [P]); ScanNet trains on scene chunks/subsamples rather than
+    S3DIS-style 1 m blocks."""
+    n = len(scene["coords"])
+    sel = rng.choice(n, num_points, replace=n < num_points)
+    feat = np.concatenate(
+        [scene["coords"][sel], scene["colors"][sel] / 255.0], axis=1
+    ).astype(np.float32)
+    labels = scene.get("labels")
+    lab = labels[sel] if labels is not None else np.full(num_points, -1, np.int64)
+    return feat, lab

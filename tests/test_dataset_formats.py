@@ -299,3 +299,48 @@ def test_uea_provider(tmp_path):
     assert labels.tolist() == [0, 1] and classes == ["a", "b"]
     normed = tsp.normalize_uea(data)
     np.testing.assert_allclose(normed.mean(axis=1), 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SemanticKITTI / ScanNet
+# ---------------------------------------------------------------------------
+
+
+def test_semantickitti_reader(tmp_path):
+    seq = tmp_path / "sequences" / "00"
+    os.makedirs(seq / "velodyne")
+    os.makedirs(seq / "labels")
+    pts = np.random.default_rng(0).uniform(-10, 10, (100, 4)).astype(np.float32)
+    pts.tofile(seq / "velodyne" / "000000.bin")
+    # raw labels: car=10 -> 1, moving-car=252 -> 1, road=40 -> 9,
+    # unlabeled=0 -> 0; instance id in the high bits survives
+    raw = np.array([10, 252, 40, 0] * 25, np.uint32)
+    raw[0] |= np.uint32(7 << 16)
+    raw.tofile(seq / "labels" / "000000.label")
+
+    frames = psd.list_semantickitti_frames(str(tmp_path), "train")
+    assert len(frames) == 1 and frames[0][1].endswith(".label")
+    scan = psd.read_semantickitti_scan(frames[0][0])
+    assert scan.shape == (100, 4)
+    lab, inst = psd.read_semantickitti_label(frames[0][1])
+    assert lab[:4].tolist() == [1, 1, 9, 0]  # learning_map applied
+    assert inst[0] == 7 and inst[1] == 0
+
+    # valid split sees nothing in this fixture (sequence 08 absent)
+    assert psd.list_semantickitti_frames(str(tmp_path), "valid") == []
+
+
+def test_scannet_scene_and_remap(tmp_path):
+    rng = np.random.default_rng(1)
+    coords = rng.uniform(0, 5, (200, 3)).astype(np.float32)
+    colors = rng.uniform(0, 255, (200, 3)).astype(np.float32)
+    # NYU40: wall=1 -> 0, chair=5 -> 4, desk=14 -> 12, lamp(35) -> ignored
+    labels = np.array([1, 5, 14, 35] * 50, np.int64)
+    np.savez(tmp_path / "scene0000_00.npz", coords=coords, colors=colors,
+             labels=labels)
+
+    scene = psd.load_scannet_scene(str(tmp_path / "scene0000_00.npz"))
+    assert scene["labels"][:4].tolist() == [0, 4, 12, -1]
+    feat, lab = psd.scannet_block_sample(scene, 64, np.random.default_rng(0))
+    assert feat.shape == (64, 6) and lab.shape == (64,)
+    assert feat[:, 3:].max() <= 1.0
