@@ -111,6 +111,10 @@ class VideoDatasetConfig:
     crop_size: int = 224
     test_num_clips: int = 5  # temporal views
     test_num_crops: int = 3  # spatial views
+    # Kinetics finetune recipe augs (run_class_finetuning args:
+    # --aa rand-m7-n4-mstd0.5 --reprob 0.25)
+    rand_augment: str = ""  # e.g. "rand-m7-n4-mstd0.5"; "" = off
+    erase_prob: float = 0.0  # RandomErasing probability
 
 
 def train_clip(
@@ -121,7 +125,30 @@ def train_clip(
     clip = random_resized_crop(frames[idx], cfg.crop_size, rng)
     if rng.random() < 0.5:  # horizontal flip
         clip = clip[:, :, ::-1]
-    return normalize(clip)
+    if cfg.rand_augment:
+        from metatransformer_tpu.data import rand_augment as ra
+
+        clip = ra.rand_augment_clip(
+            np.ascontiguousarray(clip).astype(np.float32),
+            ra.parse_config(cfg.rand_augment), rng,
+        )
+    clip = normalize(clip)
+    if cfg.erase_prob > 0 and rng.random() < cfg.erase_prob:
+        # RandomErasing AFTER normalization (timm order), same region
+        # across the clip's frames
+        t, h, w, _ = clip.shape
+        area = rng.uniform(0.02, 1.0 / 3.0) * h * w
+        ar = rng.uniform(0.3, 3.3)
+        eh = int(round(np.sqrt(area * ar)))
+        ew = int(round(np.sqrt(area / ar)))
+        if eh < h and ew < w:
+            y0 = rng.integers(0, h - eh)
+            x0 = rng.integers(0, w - ew)
+            clip = clip.copy()
+            clip[:, y0 : y0 + eh, x0 : x0 + ew] = rng.standard_normal(
+                (t, eh, ew, 3)
+            )
+    return clip
 
 
 def test_views(frames: np.ndarray, cfg: VideoDatasetConfig) -> np.ndarray:

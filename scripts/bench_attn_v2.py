@@ -57,13 +57,30 @@ def _kernel_hbatch(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     souts = []
     for s_i in range(n):
         sl = qkv[s_i * t : (s_i + 1) * t]
-        q = (sl[:, :d].astype(jnp.float32) * scale).astype(x.dtype)
-        q = q.reshape(t, num_heads, head_dim)
-        k = sl[:, d : 2 * d].reshape(t, num_heads, head_dim)
-        v = sl[:, 2 * d :].reshape(t, num_heads, head_dim)
+        # Mosaic batched matmul needs the batch dim LEADING: materialize
+        # [H, T, hd] head stacks via strided slices (VMEM copies, ~300 KB)
+        q = jnp.stack(
+            [
+                (sl[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+                 * scale).astype(x.dtype)
+                for h in range(num_heads)
+            ]
+        )
+        k = jnp.stack(
+            [
+                sl[:, d + h * head_dim : d + (h + 1) * head_dim]
+                for h in range(num_heads)
+            ]
+        )
+        v = jnp.stack(
+            [
+                sl[:, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+                for h in range(num_heads)
+            ]
+        )
         # [H, T, T] in ONE batched MXU call
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((1,), (1,))),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         s = s + bias_ref[s_i][None]  # [H, T, T] + [1, 1, T]
@@ -71,17 +88,18 @@ def _kernel_hbatch(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((2,), (0,)), ((0,), (1,))),
+            p.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [H, T, hd]
         o = (o / l).astype(x.dtype)
-        # heads + head_dim contracted together: [T, D], no concat/transpose
-        souts.append(
-            jax.lax.dot_general(
-                o, wp3, (((0, 2), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
+        # head-batched projection + head-sum reduction: Mosaic's tpu.matmul
+        # takes ONE contracting dim, so contract hd with H as batch and
+        # reduce the [H, T, D] partials on the VPU (no concat/transpose)
+        d_h = jax.lax.dot_general(
+            o, wp3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [H, T, D]
+        souts.append(jnp.sum(d_h, axis=0))
     delta = jnp.concatenate(souts, axis=0) + bproj_ref[0].astype(jnp.float32)
     o_ref[:] = (x + delta.astype(x.dtype)).reshape(n, t, d)
 

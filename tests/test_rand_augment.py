@@ -72,3 +72,21 @@ def test_rand_augment_changes_input_deterministically():
     out2 = ra.rand_augment_clip(frames, cfg, np.random.default_rng(7))
     np.testing.assert_array_equal(out1, out2)  # seeded determinism
     assert np.abs(out1 - frames).max() > 1.0  # actually augments
+
+
+def test_train_clip_with_randaugment_and_erasing():
+    from metatransformer_tpu.data import video_dataset as vd
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (24, 40, 40, 3)).astype(np.uint8)
+    cfg = vd.VideoDatasetConfig(
+        num_frames=4, crop_size=32, rand_augment="rand-m7-n4-mstd0.5",
+        erase_prob=1.0,
+    )
+    clip = vd.train_clip(frames, cfg, np.random.default_rng(1))
+    assert clip.shape == (4, 32, 32, 3)
+    assert np.isfinite(clip).all()
+    # plain pipeline (no RA/erase) differs
+    cfg0 = vd.VideoDatasetConfig(num_frames=4, crop_size=32)
+    clip0 = vd.train_clip(frames, cfg0, np.random.default_rng(1))
+    assert np.abs(clip - clip0).max() > 1e-3
