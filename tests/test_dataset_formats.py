@@ -344,3 +344,96 @@ def test_scannet_scene_and_remap(tmp_path):
     feat, lab = psd.scannet_block_sample(scene, 64, np.random.default_rng(0))
     assert feat.shape == (64, 6) and lab.shape == (64,)
     assert feat[:, 3:].max() <= 1.0
+
+
+def test_lyft_infos_sweeps_and_kitti_eval(tmp_path):
+    """Lyft: truncated 5-float lidar + sweeps + gt pickle -> points with
+    time channel and a KittiAnnotation the native evaluator scores."""
+    rng = np.random.default_rng(0)
+    # key frame: 40 points + one ego return + a ragged 3-float tail
+    key = rng.normal(size=(40, 5)).astype(np.float32) * 10
+    key[:, 0] = np.abs(key[:, 0]) + 3  # keep clear of the ego mask
+    ego_pt = np.array([[0.2, 0.1, 0.0, 1.0, 0.0]], np.float32)
+    raw = np.concatenate([key, ego_pt]).reshape(-1)
+    raw = np.concatenate([raw, np.zeros(3, np.float32)])  # truncated row
+    (tmp_path / "lidar").mkdir()
+    raw.tofile(tmp_path / "lidar" / "key.bin")
+
+    sweep = rng.normal(size=(10, 5)).astype(np.float32) * 10
+    sweep[:, 0] = np.abs(sweep[:, 0]) + 3
+    sweep.reshape(-1).tofile(tmp_path / "lidar" / "sweep.bin")
+    tm = np.eye(4)
+    tm[:3, 3] = [1.0, 2.0, 3.0]
+
+    gt_boxes = np.array([[5.0, 0, 0, 4, 2, 1.5, 0.3],
+                         [8.0, 3, 0, 0.8, 0.8, 1.7, 0.0]])
+    infos = [{
+        "lidar_path": "lidar/key.bin", "token": "t0",
+        "sweeps": [{"lidar_path": "lidar/sweep.bin",
+                    "transform_matrix": tm, "time_lag": 0.05}],
+        "gt_boxes": gt_boxes,
+        "gt_names": np.array(["car", "pedestrian"]),
+    }]
+    with open(tmp_path / "infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+
+    loaded = d3f.load_lyft_infos(str(tmp_path / "infos.pkl"))
+    pts = d3f.lyft_points_with_sweeps(str(tmp_path), loaded[0], max_sweeps=2)
+    assert pts.shape == (50, 5)  # ego point dropped, ragged tail dropped
+    assert np.all(pts[:40, 4] == 0) and np.allclose(pts[40:, 4], 0.05)
+    # sweep points were shifted by the transform translation
+    assert np.allclose(pts[40:, :3], sweep[:, :3] + tm[:3, 3], atol=1e-5)
+
+    ann = d3f.lyft_info_to_kitti_annotation(loaded[0])
+    assert ann.names.tolist() == ["Car", "Pedestrian"]
+    from metatransformer_tpu.data import kitti_eval
+    # perfect predictions -> AP 100 on the lidar-frame native evaluator
+    preds = [{"boxes": gt_boxes, "names": ann.names,
+              "scores": np.array([0.9, 0.8])}]
+    ap = kitti_eval.ap_r40(preds, [ann], "Car", difficulty=2, metric="bev")
+    assert ap > 0.99
+
+
+def test_pandaset_world_ego_round_trip_and_cuboids(tmp_path):
+    """PandaSet: world->ego->world round trip, axis swap, yaw zrot."""
+    pose = {"position": {"x": 10.0, "y": -4.0, "z": 1.0},
+            "heading": {"w": np.cos(0.4), "x": 0.0, "y": 0.0,
+                        "z": np.sin(0.4)}}  # pure z-rotation by 0.8 rad
+    pts = np.random.default_rng(1).normal(size=(30, 3)) * 20
+    back = d3f.pandaset_ego_to_world(d3f.pandaset_world_to_ego(pts, pose), pose)
+    assert np.allclose(back, pts, atol=1e-9)
+
+    # lidar table: one point dead ahead of the ego (world = pose pos +
+    # R @ [0, 5, 0]; pandaset ego y = forward) must land at normative
+    # x=+5 (x forward) after the swap
+    r, t = d3f._pose_rt(pose)
+    ahead_world = r @ np.array([0.0, 5.0, 0.0]) + t
+    table = {"x": np.array([ahead_world[0]]), "y": np.array([ahead_world[1]]),
+             "z": np.array([ahead_world[2]]), "i": np.array([127.5]),
+             "d": np.array([0])}
+    with open(tmp_path / "00.pkl", "wb") as f:
+        pickle.dump(table, f)
+    out = d3f.read_pandaset_lidar(str(tmp_path / "00.pkl"), pose)
+    assert np.allclose(out[0, :3], [5.0, 0.0, 0.0], atol=1e-5)
+    assert np.allclose(out[0, 3], 0.5)
+
+    # cuboid at that same spot, world yaw 0 -> ego yaw == zrot; the
+    # filtered second-sensor cuboid disappears
+    cub = {"position.x": np.array([ahead_world[0], 0.0]),
+           "position.y": np.array([ahead_world[1], 0.0]),
+           "position.z": np.array([ahead_world[2], 0.0]),
+           "dimensions.x": np.array([2.0, 1.0]),
+           "dimensions.y": np.array([4.0, 1.0]),
+           "dimensions.z": np.array([1.5, 1.0]),
+           "yaw": np.array([0.0, 0.0]),
+           "label": np.array(["Car", "Pedestrian"]),
+           "cuboids.sensor_id": np.array([0, 1])}
+    with open(tmp_path / "cub.pkl", "wb") as f:
+        pickle.dump(cub, f)
+    boxes, labels = d3f.read_pandaset_cuboids(str(tmp_path / "cub.pkl"), pose)
+    assert boxes.shape == (1, 7) and labels.tolist() == ["Car"]
+    assert np.allclose(boxes[0, :3], [5.0, 0.0, 0.0], atol=1e-4)
+    # dims.x (pandaset width) -> normative dy, dims.y (length) -> dx
+    assert np.allclose(boxes[0, 3:6], [4.0, 2.0, 1.5])
+    zrot = d3f.pandaset_zrot_world_to_ego(pose)
+    assert np.isclose(boxes[0, 6], zrot, atol=1e-6)
