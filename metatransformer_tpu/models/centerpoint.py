@@ -7,7 +7,10 @@ BaseBEVBackbone -> CenterHead (``dense_heads/center_head.py:48-352``),
 CenterNet focal + gathered-L1 losses (``utils/loss_utils.py``
 FocalLossCenterNet / RegLossCenterNet) and heatmap top-K decoding
 (``model_utils/centernet_utils.py:197-259``). Recipe values from
-``tools/cfgs/kitti_models/centerpoint.yaml``.
+``tools/cfgs/kitti_models/centerpoint.yaml``; the nuScenes variant
+(``tools/cfgs/nuscenes_models/cbgs_voxel01_res3d_centerpoint.yaml``)
+adds CLASS_NAMES_EACH_HEAD multihead groups and the 2-channel ``vel``
+branch via ``class_groups`` / ``velocity``.
 
 TPU-native deltas:
  - The residual sparse backbone runs on the gather/MXU engine in
@@ -58,6 +61,13 @@ class CenterPointConfig:
     num_classes: int = 3
     shared_ch: int = 64
     num_conv: int = 2  # per separate head (incl. final)
+    # nuScenes variant (cbgs_voxel01_res3d_centerpoint.yaml):
+    # CLASS_NAMES_EACH_HEAD -> one separate head PER GROUP of class ids;
+    # () = single head over all classes (KITTI behaviour)
+    class_groups: Tuple[Tuple[int, ...], ...] = ()
+    # adds the 2-channel 'vel' branch to HEAD_ORDER and (vx, vy) to the
+    # regression targets (gt_boxes then carry 9 columns)
+    velocity: bool = False
     # target assigner
     feature_map_stride: int = 8  # voxel grid -> BEV map
     max_objs: int = 500
@@ -84,16 +94,28 @@ class CenterPointConfig:
             self.spatial_shape[2] // 8 // self.bev_strides[0],
         )
 
+    @property
+    def groups(self) -> Tuple[Tuple[int, ...], ...]:
+        """Head groups; a single all-classes group unless class_groups."""
+        return self.class_groups or (tuple(range(self.num_classes)),)
+
+    @property
+    def code_size(self) -> int:
+        return 10 if self.velocity else 8
+
+    def group_channels(self, group: Tuple[int, ...]) -> Dict[str, int]:
+        """SEPARATE_HEAD_CFG.HEAD_ORDER (+ optional vel) + hm for one
+        head group."""
+        ch = {"center": 2, "center_z": 1, "dim": 3, "rot": 2}
+        if self.velocity:
+            ch["vel"] = 2
+        ch["hm"] = len(group)
+        return ch
+
     # order matches SEPARATE_HEAD_CFG.HEAD_ORDER + hm
     @property
     def head_channels(self) -> Dict[str, int]:
-        return {
-            "center": 2,
-            "center_z": 1,
-            "dim": 3,
-            "rot": 2,
-            "hm": self.num_classes,
-        }
+        return self.group_channels(self.groups[0])
 
 
 # --- init -------------------------------------------------------------------
@@ -112,7 +134,7 @@ def _conv_init(key, cin, cout, norm=True):
 
 def init(cfg: CenterPointConfig, key: jax.Array) -> Dict[str, Any]:
     w = cfg.widths
-    keys = iter(jax.random.split(key, 64))
+    keys = iter(jax.random.split(key, 256))
     params: Dict[str, Any] = {
         "conv_input": second._subm_init(next(keys), cfg.point_features, w[0]),
     }
@@ -148,18 +170,28 @@ def init(cfg: CenterPointConfig, key: jax.Array) -> Dict[str, Any]:
         cin = cout
     c_in = cfg.up_channels * len(cfg.bev_channels)
 
-    # CenterHead: shared conv + separate heads (center_head.py:11-45)
+    # CenterHead: shared conv + separate heads (center_head.py:11-45);
+    # one stack per class group (nuScenes CLASS_NAMES_EACH_HEAD)
     params["shared"] = _conv_init(next(keys), c_in, cfg.shared_ch)
-    for name, cout in cfg.head_channels.items():
-        stack = []
-        for i in range(cfg.num_conv - 1):
-            stack.append(_conv_init(next(keys), cfg.shared_ch, cfg.shared_ch))
-        final = _conv_init(next(keys), cfg.shared_ch, cout, norm=False)
-        if name == "hm":  # init_bias=-2.19 focal prior
-            final["b"] = jnp.full((cout,), -2.19, jnp.float32)
-        stack.append(final)
-        params[f"head_{name}"] = stack
+    for gi, group in enumerate(cfg.groups):
+        prefix = _head_prefix(cfg, gi)
+        for name, cout in cfg.group_channels(group).items():
+            stack = []
+            for i in range(cfg.num_conv - 1):
+                stack.append(
+                    _conv_init(next(keys), cfg.shared_ch, cfg.shared_ch)
+                )
+            final = _conv_init(next(keys), cfg.shared_ch, cout, norm=False)
+            if name == "hm":  # init_bias=-2.19 focal prior
+                final["b"] = jnp.full((cout,), -2.19, jnp.float32)
+            stack.append(final)
+            params[f"{prefix}{name}"] = stack
     return params
+
+
+def _head_prefix(cfg: CenterPointConfig, gi: int) -> str:
+    """Single-group configs keep the legacy ``head_`` param names."""
+    return "head_" if not cfg.class_groups else f"head{gi}_"
 
 
 # --- sparse residual backbone ----------------------------------------------
@@ -207,15 +239,27 @@ def _head_stack(x, stack):
     return x
 
 
-def center_head(params: Dict[str, Any], feat: jax.Array, cfg: CenterPointConfig) -> Dict[str, jax.Array]:
-    """BEV features [B, H, W, C] -> per-map predictions (NHWC)."""
+def center_head(params: Dict[str, Any], feat: jax.Array, cfg: CenterPointConfig):
+    """BEV features [B, H, W, C] -> per-map predictions (NHWC).
+
+    Single-group configs return the plain dict (KITTI behaviour);
+    multihead configs (nuScenes CLASS_NAMES_EACH_HEAD) return one dict
+    per class group."""
     p = params["shared"]
     x = conv2d(feat, p["w"], p["b"])
     x = jax.nn.relu(group_norm(x, p["gn_scale"], p["gn_bias"]))
-    return {
-        name: _head_stack(x, params[f"head_{name}"])
-        for name in cfg.head_channels
-    }
+    heads = [
+        {
+            name: _head_stack(x, params[f"{_head_prefix(cfg, gi)}{name}"])
+            for name in cfg.group_channels(group)
+        }
+        for gi, group in enumerate(cfg.groups)
+    ]
+    return heads if cfg.class_groups else heads[0]
+
+
+def _as_groups(preds) -> List[Dict[str, jax.Array]]:
+    return [preds] if isinstance(preds, dict) else list(preds)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -265,13 +309,18 @@ def gaussian_radius(height: jax.Array, width: jax.Array, min_overlap: float,
 
 
 def assign_targets(
-    gt_boxes: jax.Array,  # [G, 7] (x, y, z, dx, dy, dz, heading)
-    gt_labels: jax.Array,  # [G] int class ids (0-based)
+    gt_boxes: jax.Array,  # [G, 7|9] (x, y, z, dx, dy, dz, heading[, vx, vy])
+    gt_labels: jax.Array,  # [G] int class ids (0-based, heatmap-local)
     gt_valid: jax.Array,  # [G] bool
     cfg: CenterPointConfig,
+    num_classes: int = None,
 ) -> Dict[str, jax.Array]:
-    """One sample -> heatmap [H, W, C], target_boxes [G, 8], inds [G],
-    mask [G] (assign_target_of_single_head, center_head.py:103-155)."""
+    """One sample -> heatmap [H, W, C], target_boxes [G, code_size],
+    inds [G], mask [G] (assign_target_of_single_head,
+    center_head.py:103-155). ``num_classes`` overrides the heatmap
+    depth for a class-group head; with ``cfg.velocity`` the target rows
+    gain (vx, vy) from gt_boxes[:, 7:9]."""
+    n_cls = cfg.num_classes if num_classes is None else num_classes
     fh, fw = cfg.bev_hw
     vx, vy = cfg.voxel_size[0], cfg.voxel_size[1]
     s = cfg.feature_map_stride
@@ -305,27 +354,27 @@ def assign_targets(
             jnp.abs(gx - cxik)[None, :] <= r
         )
         g = jnp.where(inside & okk, g, 0.0)
-        onehot = jax.nn.one_hot(cls, cfg.num_classes)
+        onehot = jax.nn.one_hot(cls, n_cls)
         return jnp.maximum(hm, g[:, :, None] * onehot), None
 
-    hm0 = jnp.zeros((fh, fw, cfg.num_classes), jnp.float32)
+    hm0 = jnp.zeros((fh, fw, n_cls), jnp.float32)
     heatmap, _ = jax.lax.scan(
         draw, hm0, (cx, cy, cxi, cyi, radius, gt_labels, ok)
     )
 
-    target = jnp.stack(
-        [
-            cx - cxi,
-            cy - cyi,
-            z,
-            jnp.log(jnp.maximum(gt_boxes[:, 3], 1e-4)),
-            jnp.log(jnp.maximum(gt_boxes[:, 4], 1e-4)),
-            jnp.log(jnp.maximum(gt_boxes[:, 5], 1e-4)),
-            jnp.cos(gt_boxes[:, 6]),
-            jnp.sin(gt_boxes[:, 6]),
-        ],
-        axis=-1,
-    )
+    cols = [
+        cx - cxi,
+        cy - cyi,
+        z,
+        jnp.log(jnp.maximum(gt_boxes[:, 3], 1e-4)),
+        jnp.log(jnp.maximum(gt_boxes[:, 4], 1e-4)),
+        jnp.log(jnp.maximum(gt_boxes[:, 5], 1e-4)),
+        jnp.cos(gt_boxes[:, 6]),
+        jnp.sin(gt_boxes[:, 6]),
+    ]
+    if cfg.velocity:
+        cols += [gt_boxes[:, 7], gt_boxes[:, 8]]
+    target = jnp.stack(cols, axis=-1)
     inds = cyi * fw + cxi
     return {
         "heatmap": heatmap,
@@ -354,78 +403,109 @@ def focal_loss_centernet(pred_hm: jax.Array, gt_hm: jax.Array) -> jax.Array:
 
 
 def detection_loss(
-    preds: Dict[str, jax.Array],
-    gt_boxes: jax.Array,  # [B, G, 7]
-    gt_labels: jax.Array,  # [B, G]
+    preds,  # dict (single head) or list of per-group dicts
+    gt_boxes: jax.Array,  # [B, G, 7|9]
+    gt_labels: jax.Array,  # [B, G] global class ids
     gt_valid: jax.Array,  # [B, G]
     cfg: CenterPointConfig,
 ):
-    """hm focal + gathered L1 over HEAD_ORDER (center_head.py:222-248)."""
-    targets = jax.vmap(lambda b, l, v: assign_targets(b, l, v, cfg))(
-        gt_boxes, gt_labels, gt_valid
+    """hm focal + gathered L1 over HEAD_ORDER (center_head.py:222-248),
+    summed over class-group heads; each group sees only its own classes
+    with labels remapped to group-local ids."""
+    group_preds = _as_groups(preds)
+    order = ("center", "center_z", "dim", "rot") + (
+        ("vel",) if cfg.velocity else ()
     )
-    hm = jnp.clip(jax.nn.sigmoid(preds["hm"]), 1e-4, 1 - 1e-4)
-    hm_loss = focal_loss_centernet(hm, targets["heatmap"])
-
-    b = gt_boxes.shape[0]
-    reg = jnp.concatenate(
-        [preds[k] for k in ("center", "center_z", "dim", "rot")], axis=-1
-    ).reshape(b, -1, 8)  # [B, H*W, 8]
-    picked = jnp.take_along_axis(
-        reg, targets["inds"][:, :, None], axis=1
-    )  # [B, G, 8]
-    m = targets["mask"][:, :, None].astype(jnp.float32)
     cw = jnp.asarray(cfg.code_weights, jnp.float32)
-    loc = jnp.abs(picked - targets["target_boxes"]) * m * cw
-    loc_loss = jnp.sum(loc) / jnp.maximum(jnp.sum(m), 1.0)
+    if cw.shape[0] < cfg.code_size:  # legacy 8-wide default with velocity on
+        cw = jnp.concatenate(
+            [cw, jnp.ones((cfg.code_size - cw.shape[0],), jnp.float32)]
+        )
+    b = gt_boxes.shape[0]
+    hm_total = loc_total = 0.0
+    for gi, (group, gp) in enumerate(zip(cfg.groups, group_preds)):
+        grp = jnp.asarray(group, gt_labels.dtype)
+        member = (gt_labels[..., None] == grp).any(-1)
+        local = jnp.argmax(gt_labels[..., None] == grp, axis=-1)
+        valid = gt_valid & member
+        targets = jax.vmap(
+            lambda bx, lb, vl: assign_targets(bx, lb, vl, cfg, len(group))
+        )(gt_boxes, local, valid)
+        hm = jnp.clip(jax.nn.sigmoid(gp["hm"]), 1e-4, 1 - 1e-4)
+        hm_total += focal_loss_centernet(hm, targets["heatmap"])
 
-    total = cfg.cls_weight * hm_loss + cfg.loc_weight * loc_loss
-    return total, {"hm": hm_loss, "loc": loc_loss}
+        reg = jnp.concatenate([gp[k] for k in order], axis=-1)
+        reg = reg.reshape(b, -1, cfg.code_size)  # [B, H*W, code]
+        picked = jnp.take_along_axis(
+            reg, targets["inds"][:, :, None], axis=1
+        )  # [B, G, code]
+        m = targets["mask"][:, :, None].astype(jnp.float32)
+        loc = jnp.abs(picked - targets["target_boxes"]) * m * cw
+        loc_total += jnp.sum(loc) / jnp.maximum(jnp.sum(m), 1.0)
+
+    total = cfg.cls_weight * hm_total + cfg.loc_weight * loc_total
+    return total, {"hm": hm_total, "loc": loc_total}
 
 
 # --- decoding ---------------------------------------------------------------
 
 
 def decode(
-    preds: Dict[str, jax.Array],
+    preds,  # dict (single head) or list of per-group dicts
     cfg: CenterPointConfig,
     k: int = 100,
     nms: bool = True,
 ) -> List[Dict[str, np.ndarray]]:
     """Top-K heatmap decode (centernet_utils.decode_bbox_from_heatmap) +
-    class-agnostic rotated BEV NMS. Static shapes; `valid` masks pads."""
+    class-agnostic rotated BEV NMS. Static shapes; `valid` masks pads.
+
+    Multihead configs take top-K per group, remap group-local classes
+    to global ids and run one NMS over the concatenation. With
+    ``cfg.velocity`` boxes carry 9 columns (…, yaw, vx, vy)."""
+    group_preds = _as_groups(preds)
     fh, fw = cfg.bev_hw
     s = cfg.feature_map_stride
     out = []
-    for bi in range(preds["hm"].shape[0]):
-        hm = jax.nn.sigmoid(preds["hm"][bi])  # [H, W, C]
-        flat = hm.reshape(-1)  # index = (y*W + x)*C + c
-        scores, idx = jax.lax.top_k(flat, k)
-        cls = idx % cfg.num_classes
-        pix = idx // cfg.num_classes
-        ys = (pix // fw).astype(jnp.float32)
-        xs = (pix % fw).astype(jnp.float32)
-        gather = lambda m: m.reshape(-1, m.shape[-1])[pix]
-        ctr = gather(preds["center"][bi])
-        cz = gather(preds["center_z"][bi])[:, 0]
-        dim = jnp.exp(gather(preds["dim"][bi]))
-        rot = gather(preds["rot"][bi])
-        angle = jnp.arctan2(rot[:, 1], rot[:, 0])
-        wx = (xs + ctr[:, 0]) * s * cfg.voxel_size[0] + cfg.pc_range[0]
-        wy = (ys + ctr[:, 1]) * s * cfg.voxel_size[1] + cfg.pc_range[1]
-        boxes = jnp.stack(
-            [wx, wy, cz, dim[:, 0], dim[:, 1], dim[:, 2], angle], axis=-1
-        )
-        r = jnp.asarray(cfg.post_center_range)
-        keep = (
-            (scores > cfg.score_thresh)
-            & jnp.all(boxes[:, :3] >= r[:3], axis=-1)
-            & jnp.all(boxes[:, :3] <= r[3:], axis=-1)
-        )
-        scores = jnp.where(keep, scores, 0.0)
+    for bi in range(group_preds[0]["hm"].shape[0]):
+        boxes_all, scores_all, cls_all = [], [], []
+        for group, gp in zip(cfg.groups, group_preds):
+            n_cls = len(group)
+            hm = jax.nn.sigmoid(gp["hm"][bi])  # [H, W, Cg]
+            flat = hm.reshape(-1)  # index = (y*W + x)*Cg + c
+            scores, idx = jax.lax.top_k(flat, k)
+            cls = jnp.take(jnp.asarray(group), idx % n_cls)
+            pix = idx // n_cls
+            ys = (pix // fw).astype(jnp.float32)
+            xs = (pix % fw).astype(jnp.float32)
+            gather = lambda m: m.reshape(-1, m.shape[-1])[pix]
+            ctr = gather(gp["center"][bi])
+            cz = gather(gp["center_z"][bi])[:, 0]
+            dim = jnp.exp(gather(gp["dim"][bi]))
+            rot = gather(gp["rot"][bi])
+            angle = jnp.arctan2(rot[:, 1], rot[:, 0])
+            wx = (xs + ctr[:, 0]) * s * cfg.voxel_size[0] + cfg.pc_range[0]
+            wy = (ys + ctr[:, 1]) * s * cfg.voxel_size[1] + cfg.pc_range[1]
+            cols = [wx, wy, cz, dim[:, 0], dim[:, 1], dim[:, 2], angle]
+            if cfg.velocity:
+                vel = gather(gp["vel"][bi])
+                cols += [vel[:, 0], vel[:, 1]]
+            boxes = jnp.stack(cols, axis=-1)
+            r = jnp.asarray(cfg.post_center_range)
+            keep = (
+                (scores > cfg.score_thresh)
+                & jnp.all(boxes[:, :3] >= r[:3], axis=-1)
+                & jnp.all(boxes[:, :3] <= r[3:], axis=-1)
+            )
+            boxes_all.append(boxes)
+            scores_all.append(jnp.where(keep, scores, 0.0))
+            cls_all.append(cls)
+        boxes = jnp.concatenate(boxes_all, 0)
+        scores = jnp.concatenate(scores_all, 0)
+        cls = jnp.concatenate(cls_all, 0)
         if nms:
             sel, valid = iou3d.nms_bev(
-                boxes, scores, cfg.nms_thresh, min(k, cfg.max_per_sample)
+                boxes[:, :7], scores, cfg.nms_thresh,
+                min(len(cfg.groups) * k, cfg.max_per_sample),
             )
             valid = valid & (scores[sel] > 0)
             out.append(
@@ -442,7 +522,7 @@ def decode(
                     "boxes": np.asarray(boxes),
                     "scores": np.asarray(scores),
                     "labels": np.asarray(cls),
-                    "valid": np.asarray(keep),
+                    "valid": np.asarray(scores > 0),
                 }
             )
     return out

@@ -883,6 +883,75 @@ def build_centerpoint(cfg, key, smoke=False):
     return _det3d_recipe(params, forward, mcfg.pc_range, mcfg.num_classes, smoke)
 
 
+def build_centerpoint_nusc(cfg, key, smoke=False):
+    """nuScenes CenterPoint: CLASS_NAMES_EACH_HEAD multihead groups +
+    velocity branch (cbgs_voxel01_res3d_centerpoint.yaml)."""
+    from metatransformer_tpu.models import centerpoint as cp
+
+    m = cfg.model
+    groups = tuple(tuple(g) for g in m.class_groups)
+    if smoke:
+        mcfg = dataclasses.replace(
+            cp.CenterPointConfig(),
+            spatial_shape=(25, 64, 64),
+            pc_range=_SMOKE_RANGE,
+            voxel_size=(0.1, 0.1, 0.2),
+            max_voxels=256,
+            widths=(4, 4, 8, 8, 8, 8),
+            bev_channels=(8, 16),
+            up_channels=8,
+            bev_layer_num=2,
+            shared_ch=8,
+            post_center_range=(-10, -10, -10, 10, 10, 10),
+            num_classes=m.num_classes,
+            class_groups=groups,
+            velocity=True,
+            code_weights=tuple(m.code_weights),
+            loc_weight=m.get("loc_weight", 0.25),
+        )
+    else:
+        mcfg = dataclasses.replace(
+            cp.CenterPointConfig(),
+            voxel_size=tuple(m.voxel_size),
+            pc_range=tuple(m.pc_range),
+            spatial_shape=tuple(m.spatial_shape),
+            max_voxels=m.max_voxels,
+            point_features=m.get("point_features", 4),
+            num_classes=m.num_classes,
+            class_groups=groups,
+            velocity=bool(m.get("velocity", True)),
+            code_weights=tuple(m.code_weights),
+            loc_weight=m.get("loc_weight", 0.25),
+            score_thresh=m.get("score_thresh", 0.1),
+            nms_thresh=m.get("nms_thresh", 0.2),
+            post_center_range=tuple(m.post_center_range),
+            feature_map_stride=m.get("feature_map_stride", 8),
+            max_objs=m.get("max_objs", 500),
+            gaussian_overlap=m.get("gaussian_overlap", 0.1),
+            min_radius=m.get("min_radius", 2),
+        )
+    params = cp.init(mcfg, key)
+
+    def forward(p, x, rng):
+        pts = x["points"]
+        if pts.shape[-1] < mcfg.point_features:  # synth data lacks dt
+            pad = jnp.zeros(
+                pts.shape[:-1] + (mcfg.point_features - pts.shape[-1],),
+                pts.dtype,
+            )
+            pts = jnp.concatenate([pts, pad], -1)
+        gt = x["gt_boxes"]
+        if mcfg.velocity and gt.shape[-1] == 7:
+            gt = jnp.concatenate(
+                [gt, jnp.zeros(gt.shape[:-1] + (2,), gt.dtype)], -1
+            )
+        labels = jnp.clip(x["gt_labels"] - 1, 0, mcfg.num_classes - 1)
+        preds = cp.forward(p, pts, mcfg)
+        return cp.detection_loss(preds, gt, labels, x["gt_valid"], mcfg)[0]
+
+    return _det3d_recipe(params, forward, mcfg.pc_range, mcfg.num_classes, smoke)
+
+
 def _two_stage_builder(model_name: str):
     """voxel_rcnn / pv_rcnn / pv_rcnn_pp / part_a2 / second_iou share the
     (points, gt, anchors) training interface over a SECOND stage-1."""
@@ -1231,6 +1300,7 @@ def _smoked(cfg):
 DET3D_BUILDERS = {
     "SECONDNet": build_second,
     "CenterPoint": build_centerpoint,
+    "CenterPointNusc": build_centerpoint_nusc,
     "VoxelRCNN": _two_stage_builder("voxel_rcnn"),
     "PVRCNN": _two_stage_builder("pv_rcnn"),
     "PVRCNNPP": _two_stage_builder("pv_rcnn_pp"),

@@ -182,3 +182,126 @@ def test_assign_targets_3dal_mode_runs():
     gt = jnp.asarray([[2.0, 0.5, -1.0, 3.2, 1.6, 1.5, 0.3]])
     t = cp.assign_targets(gt, jnp.asarray([1]), jnp.asarray([True]), cfg)
     assert float(t["heatmap"].max()) == 1.0
+
+
+# --- nuScenes variant: multihead class groups + velocity --------------------
+
+NUSC_SMALL = dataclasses.replace(
+    SMALL,
+    num_classes=5,
+    class_groups=((0,), (1, 2), (3, 4)),
+    velocity=True,
+    code_weights=(1.0,) * 6 + (0.2, 0.2, 1.0, 1.0),
+    loc_weight=0.25,
+)
+
+
+def test_multihead_forward_shapes_and_params():
+    cfg = NUSC_SMALL
+    params = cp.init(cfg, jax.random.PRNGKey(0))
+    # one stack per group per branch, legacy name absent
+    assert "head0_hm" in params and "head2_vel" in params
+    assert "head_hm" not in params
+    pts = np.random.default_rng(0).uniform(
+        [0, -3, -2.5], [6, 3, 1.5], (2, 200, 3)
+    ).astype(np.float32)
+    pts = np.concatenate([pts, np.ones((2, 200, 1), np.float32)], -1)
+    preds = cp.forward(params, jnp.asarray(pts), cfg)
+    assert isinstance(preds, (list, tuple)) and len(preds) == 3
+    fh, fw = cfg.bev_hw
+    assert preds[0]["hm"].shape == (2, fh, fw, 1)
+    assert preds[1]["hm"].shape == (2, fh, fw, 2)
+    assert preds[2]["vel"].shape == (2, fh, fw, 2)
+
+
+def test_multihead_velocity_loss_and_gradients():
+    """Each group head only sees its own classes; velocity targets flow
+    and every group's params receive gradient."""
+    cfg = NUSC_SMALL
+    params = cp.init(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(3)
+    pts = rng.uniform([0, -3, -2.5], [6, 3, 1.5], (1, 300, 3)).astype(np.float32)
+    pts = np.concatenate([pts, np.ones((1, 300, 1), np.float32)], -1)
+    # classes 0 (group 0), 2 (group 1), 4 (group 2), with velocities
+    gt = jnp.asarray(
+        [[[2.0, 0.0, -0.5, 3.0, 1.6, 1.5, 0.2, 1.5, -0.5],
+          [4.0, 1.0, -0.5, 2.5, 1.5, 1.4, -0.1, 0.0, 2.0],
+          [3.0, -1.0, -0.5, 0.8, 0.8, 1.7, 0.0, 0.3, 0.1]]],
+        jnp.float32,
+    )
+    labels = jnp.asarray([[0, 2, 4]], jnp.int32)
+    valid = jnp.ones((1, 3), bool)
+
+    def loss_fn(p):
+        preds = cp.forward(p, jnp.asarray(pts), cfg)
+        return cp.detection_loss(preds, gt, labels, valid, cfg)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for gi in range(3):
+        g = grads[f"head{gi}_hm"][-1]["w"]
+        assert float(jnp.abs(g).sum()) > 0, f"no grad into group {gi} hm"
+        gv = grads[f"head{gi}_vel"][-1]["w"]
+        assert float(jnp.abs(gv).sum()) > 0, f"no grad into group {gi} vel"
+
+
+def test_multihead_group_target_isolation():
+    """A class-1 object must create targets only in group 1's heatmap
+    (local channel 0) and none in groups 0/2."""
+    cfg = NUSC_SMALL
+    gt = jnp.asarray([[3.0, 0.0, -0.5, 2.0, 2.0, 1.5, 0.0, 0.5, -0.2]])
+    labels = jnp.asarray([1], jnp.int32)
+    # group 1 = (1, 2): member, local id 0
+    grp = jnp.asarray((1, 2))
+    member = (labels[..., None] == grp).any(-1)
+    local = jnp.argmax(labels[..., None] == grp, axis=-1)
+    t = cp.assign_targets(gt, local, member, cfg, 2)
+    assert t["heatmap"].shape[-1] == 2
+    assert float(t["heatmap"][..., 0].max()) == 1.0
+    assert float(t["heatmap"][..., 1].max()) == 0.0
+    # velocity columns land in target cols 8:10
+    assert np.allclose(np.asarray(t["target_boxes"][0, 8:10]), [0.5, -0.2])
+    # non-member groups produce an empty heatmap
+    grp0 = jnp.asarray((0,))
+    member0 = (labels[..., None] == grp0).any(-1)
+    t0 = cp.assign_targets(gt, jnp.zeros_like(labels), member0, cfg, 1)
+    assert float(t0["heatmap"].max()) == 0.0
+
+
+def test_multihead_decode_global_labels_and_velocity():
+    """Decode remaps group-local argmax channels to global class ids and
+    carries (vx, vy) in box columns 7:9."""
+    cfg = NUSC_SMALL
+    fh, fw = cfg.bev_hw
+    zeros = jnp.full((1, fh, fw, 1), -10.0)
+
+    def head(hm_ch, peak_ch=None, y=8, x=8, vel=(0.0, 0.0)):
+        hm = jnp.full((1, fh, fw, hm_ch), -10.0)
+        if peak_ch is not None:
+            hm = hm.at[0, y, x, peak_ch].set(6.0)  # sigmoid ~ 1
+        return {
+            "hm": hm,
+            "center": jnp.zeros((1, fh, fw, 2)),
+            "center_z": jnp.zeros((1, fh, fw, 1)),
+            "dim": jnp.zeros((1, fh, fw, 3)),
+            "rot": jnp.concatenate(
+                [jnp.ones((1, fh, fw, 1)), jnp.zeros((1, fh, fw, 1))], -1
+            ),
+            "vel": jnp.broadcast_to(
+                jnp.asarray(vel, jnp.float32), (1, fh, fw, 2)
+            ),
+        }
+
+    preds = [
+        head(1, None),                      # group (0,): silent
+        head(2, 1, y=3, x=4, vel=(1.5, -0.5)),  # group (1,2) local 1 -> class 2
+        head(2, 0, y=5, x=6, vel=(0.0, 2.0)),   # group (3,4) local 0 -> class 3
+    ]
+    out = cp.decode(preds, cfg, k=4)[0]
+    got = {
+        int(l): b for l, b, v in zip(out["labels"], out["boxes"], out["valid"])
+        if v
+    }
+    assert set(got) == {2, 3}
+    assert np.allclose(got[2][7:9], [1.5, -0.5], atol=1e-5)
+    assert np.allclose(got[3][7:9], [0.0, 2.0], atol=1e-5)
