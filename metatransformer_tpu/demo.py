@@ -1,166 +1,161 @@
-"""Demo / parity harness: raw input -> logits per modality, one command.
+"""Inference demo CLI: raw modality input -> tokens -> shared encoder ->
+pooled features (and logits with an optional head).
 
-The v1 gate from SURVEY.md §7.4:
+The reference ships one demo/inference entry per subproject
+(``Image/segmentation/image_demo.py:16-40``, ``Audio/src/run.py`` eval
+path, per-task test scripts); this single CLI covers every modality of
+the ``pipeline.Data2Seq`` dispatcher and exercises the same
+tokenize -> concat -> encode path the README documents
+(``README.md:113-150``).
 
-  python -m metatransformer_tpu.demo --modality image [--ckpt enc.npz]
+Usage:
+  python -m metatransformer_tpu.demo --modality image --synthetic
+  python -m metatransformer_tpu.demo --modality audio --input mel.npy \
+      --ckpt encoder.npz --head head.npz --top-k 5
 
-loads the (converted) encoder checkpoint, jits tokenize+encode+head as a
-single program, optionally cross-checks logits against the PyTorch twin
-(when torch is importable and the modality has an oracle), and reports
-seq/sec/chip. Iterates over modalities as tokenizers land.
+``--input`` takes a ``.npy`` (or ``.npz`` with arrays matching the
+tokenizer's kwargs, e.g. graph batch dicts); ``--synthetic`` generates a
+correctly-shaped random input instead. Without ``--ckpt`` the encoder is
+randomly initialized (path demo only, not meaningful predictions).
 """
 
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from metatransformer_tpu.core import convert, encoder as enc
-
-
-def _throughput(run, batch, iters=10):
-    """On-device fori-loop chained timing (see bench.py for why)."""
-
-    def chained(*args):
-        def body(_, c):
-            return jnp.mean(run(*args, c))
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    fn = jax.jit(chained)
-    float(fn(*batch))  # compile + execute (float() forces full sync)
-    t0 = time.perf_counter()
-    float(fn(*batch))
-    return iters / (time.perf_counter() - t0)
+from metatransformer_tpu import pipeline
+from metatransformer_tpu.core import encoder as enc
 
 
-def demo_image(encoder_params, ecfg, batch_size, precision):
-    from metatransformer_tpu.models import image_classifier
-
-    cfg = image_classifier.ImageClassifierConfig(encoder=ecfg)
-    params = image_classifier.init(cfg, jax.random.PRNGKey(0))
-    if encoder_params is not None:
-        params["encoder"] = encoder_params
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (batch_size, 224, 224, 3), np.float32
-        )
-    )
-    logits = image_classifier.forward(params, x, cfg, precision=precision)
-
-    def run(params, x, c):
-        return image_classifier.forward(params, x * (1 + 1e-9 * c), cfg,
-                                        precision=precision)
-
-    ips = _throughput(run, (params, x)) * batch_size
-    return logits, ips
-
-
-def demo_audio(encoder_params, ecfg, batch_size, precision):
-    from metatransformer_tpu.models import audio_classifier
-    from metatransformer_tpu.tokenizers import audio as audio_tok
-
-    cfg = audio_classifier.AudioClassifierConfig(
-        tokenizer=audio_tok.AudioTokenizerConfig(num_mel_bins=128, num_frames=98),
-        encoder=ecfg,
-        num_classes=35,
-    )
-    params = audio_classifier.init(cfg, jax.random.PRNGKey(0))
-    if encoder_params is not None:
-        params["encoder"] = encoder_params
-    wav = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch_size, 16000), np.float32) * 0.1
-    )
-    logits = audio_classifier.forward_waveform(params, wav, cfg, precision=precision)
-
-    def run(params, wav, c):
-        return audio_classifier.forward_waveform(params, wav * (1 + 1e-9 * c), cfg,
-                                                 precision=precision)
-
-    ips = _throughput(run, (params, wav)) * batch_size
-    return logits, ips
+def synthetic_input(modality: str, rng: np.random.Generator):
+    """A correctly-shaped random raw input per modality."""
+    if modality in ("image", "infrared", "x-ray"):
+        return rng.uniform(0, 1, (1, 224, 224, 3)).astype(np.float32)
+    if modality == "video":
+        return rng.uniform(0, 1, (1, 16, 224, 224, 3)).astype(np.float32)
+    if modality == "audio":
+        return rng.normal(0, 1, (1, 1024, 128)).astype(np.float32)  # log-mel
+    if modality in ("time-series", "imu"):
+        return rng.normal(0, 1, (1, 96, 7)).astype(np.float32)
+    if modality == "hyper":
+        return rng.normal(0, 1, (1, 200, 49)).astype(np.float32)
+    if modality == "point":
+        return rng.normal(0, 0.5, (1, 1024, 3)).astype(np.float32)
+    if modality == "tabular":
+        return rng.integers(0, 8, (1, 14)).astype(np.int32)
+    if modality == "text":
+        ids = np.zeros((1, 77), np.int32)
+        ids[0, :5] = [49406, 320, 1125, 539, 49407]  # CLIP-style BOS .. EOS
+        return ids
+    if modality == "graph":
+        n, e = 9, 12
+        return {
+            "node_data": rng.integers(0, 16, (1, n, 9)).astype(np.int32),
+            "edge_data": rng.integers(0, 4, (1, e, 3)).astype(np.int32),
+            "edge_index": rng.integers(0, n, (1, e, 2)).astype(np.int32),
+            "node_num": np.asarray([n], np.int32),
+            "edge_num": np.asarray([e], np.int32),
+            "lap_eigvec": rng.normal(0, 1, (1, n, 16)).astype(np.float32),
+        }
+    raise ValueError(f"no synthetic generator for modality {modality!r}")
 
 
-def demo_point(encoder_params, ecfg, batch_size, precision):
-    from metatransformer_tpu.models import point_classifier
-
-    cfg = point_classifier.PointClassifierConfig(encoder=ecfg)
-    params = point_classifier.init(cfg, jax.random.PRNGKey(0))
-    if encoder_params is not None:
-        params["encoder"] = encoder_params
-    pts = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch_size, 1024, 3), np.float32)
-    )
-    logits = point_classifier.forward(params, pts, cfg, precision=precision)
-
-    def run(params, pts, c):
-        return point_classifier.forward(params, pts * (1 + 1e-9 * c), cfg,
-                                        precision=precision)
-
-    ips = _throughput(run, (params, pts)) * batch_size
-    return logits, ips
+def load_input(path: str):
+    if path.endswith(".npz"):
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files}
+    return np.load(path)
 
 
-def demo_video(encoder_params, ecfg, batch_size, precision):
-    from metatransformer_tpu.models import video_classifier
+def _load_encoder(
+    ckpt: Optional[str], key: jax.Array
+) -> Tuple[Dict[str, jax.Array], enc.EncoderConfig]:
+    if ckpt:
+        from metatransformer_tpu.core import convert
 
-    cfg = video_classifier.VideoClassifierConfig(encoder=ecfg)
-    params = video_classifier.init(cfg, jax.random.PRNGKey(0))
-    if encoder_params is not None:
-        params["encoder"] = encoder_params
-    clips = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (batch_size, 16, 224, 224, 3), np.float32
-        )
-    )
-    logits = video_classifier.forward(params, clips, cfg, precision=precision)
-
-    def run(params, clips, c):
-        return video_classifier.forward(params, clips * (1 + 1e-9 * c), cfg,
-                                        precision=precision)
-
-    ips = _throughput(run, (params, clips)) * batch_size
-    return logits, ips
+        if ckpt.endswith(".pth"):
+            return convert.convert_pth(ckpt)
+        return convert.load_npz(ckpt)
+    cfg = enc.BASE
+    return enc.init(cfg, key), cfg
 
 
-DEMOS = {
-    "image": demo_image,
-    "audio": demo_audio,
-    "point": demo_point,
-    "video": demo_video,
-}
-
-
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--modality", default="image", choices=sorted(DEMOS))
-    p.add_argument("--ckpt", default=None, help=".npz (converted) or .pth encoder")
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--fp32", action="store_true", help="fp32 instead of bf16")
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--modality", required=True, choices=sorted(pipeline.MODALITIES))
+    p.add_argument("--input", default=None, help=".npy/.npz raw input")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a correctly-shaped random input")
+    p.add_argument("--ckpt", default=None,
+                   help="converted encoder .npz (or released .pth)")
+    p.add_argument("--head", default=None,
+                   help=".npz classifier head with arrays w [D, n] (+ b)")
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    ecfg = enc.BASE
-    encoder_params = None
-    if args.ckpt:
-        if args.ckpt.endswith(".pth"):
-            encoder_params, ecfg = convert.convert_pth(args.ckpt)
-        else:
-            encoder_params, ecfg = convert.load_npz(args.ckpt)
-        print(f"loaded encoder: {ecfg}")
-
-    precision = enc.FP32 if args.fp32 else enc.BF16
-    logits, ips = DEMOS[args.modality](encoder_params, ecfg, args.batch_size, precision)
-    ok = bool(np.isfinite(np.asarray(logits)).all())
-    print(
-        f"{args.modality}: logits {tuple(logits.shape)} finite={ok} "
-        f"throughput={ips:.1f} seq/s/chip ({jax.devices()[0].platform})"
+    if not args.input and not args.synthetic:
+        p.error("one of --input / --synthetic is required")
+    raw = load_input(args.input) if args.input else synthetic_input(
+        args.modality, np.random.default_rng(args.seed)
     )
-    return 0 if ok else 1
+
+    key = jax.random.PRNGKey(args.seed)
+    k_tok, k_enc = jax.random.split(key)
+    # configs whose shape parameters come from the data itself
+    config = None
+    if args.modality == "tabular":
+        from metatransformer_tpu.tokenizers import tabular as tab_tok
+
+        config = tab_tok.TabularTokenizerConfig(
+            vocab_sizes=tuple(int(c) + 1 for c in np.asarray(raw).max(axis=0))
+        )
+    elif args.modality in ("time-series", "imu"):
+        from metatransformer_tpu.tokenizers import time_series as ts_tok
+
+        config = ts_tok.TimeSeriesConfig(c_in=int(np.asarray(raw).shape[-1]))
+    elif args.modality == "hyper":
+        from metatransformer_tpu.tokenizers import hyper as hyper_tok
+
+        config = hyper_tok.HyperTokenizerConfig(
+            img_size=1, near_band=int(np.asarray(raw).shape[-1]),
+            num_tokens=int(np.asarray(raw).shape[1]),
+        )
+    facade = pipeline.Data2Seq(args.modality, config=config)
+    tok_params = facade.init(k_tok)
+    enc_params, cfg = _load_encoder(args.ckpt, k_enc)
+
+    t0 = time.perf_counter()
+    tokens = facade(tok_params, jax.tree.map(jnp.asarray, raw))
+    feats = enc.encode(enc_params, tokens, cfg)
+    pooled = jnp.mean(feats, axis=1)
+    pooled.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    print(f"modality={args.modality} backend={jax.default_backend()} "
+          f"tokens={tuple(tokens.shape)} features={tuple(feats.shape)} "
+          f"first-call {dt*1e3:.1f} ms (incl. compile)")
+    v = np.asarray(pooled[0])
+    print(f"pooled[0:8] = {np.array2string(v[:8], precision=4)}  "
+          f"|pooled| = {np.linalg.norm(v):.4f}")
+
+    if args.head:
+        with np.load(args.head) as h:
+            w = jnp.asarray(h["w"])
+            b = jnp.asarray(h["b"]) if "b" in h.files else 0.0
+        logits = np.asarray(pooled @ w + b)[0]
+        top = np.argsort(-logits)[: args.top_k]
+        print("top-k:", ", ".join(f"class {i}: {logits[i]:.4f}" for i in top))
+    return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.exit(main())

@@ -866,6 +866,7 @@ def build_centerpoint(cfg, key, smoke=False):
             pc_range=tuple(m.pc_range),
             spatial_shape=tuple(m.spatial_shape),
             max_voxels=m.max_voxels,
+            point_features=m.get("point_features", 4),
             num_classes=m.num_classes,
             feature_map_stride=m.get("feature_map_stride", 8),
             max_objs=m.get("max_objs", 500),
@@ -875,7 +876,13 @@ def build_centerpoint(cfg, key, smoke=False):
     params = cp.init(mcfg, key)
 
     def forward(p, x, rng):
-        preds = cp.forward(p, x["points"], mcfg)
+        pts = x["points"]
+        if pts.shape[-1] < mcfg.point_features:  # synth data is (xyz, i)
+            pts = jnp.concatenate(
+                [pts, jnp.zeros(
+                    pts.shape[:-1] + (mcfg.point_features - pts.shape[-1],),
+                    pts.dtype)], -1)
+        preds = cp.forward(p, pts, mcfg)
         return cp.detection_loss(
             preds, x["gt_boxes"], x["gt_labels"], x["gt_valid"], mcfg
         )[0]

@@ -29,3 +29,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jax_caches():
+    """Drop compiled-executable caches between test modules.
+
+    One pytest process runs 300+ jit-heavy tests; without this the
+    accumulated XLA CPU executables/tracing state can reach segfault
+    territory late in the run (observed at ~91% in round 3). Modules
+    rarely share jit shapes, so the lost reuse is negligible."""
+    yield
+    jax.clear_caches()

@@ -1,0 +1,31 @@
+"""Demo CLI: every modality's synthetic path runs raw -> logits."""
+
+import numpy as np
+import pytest
+
+from metatransformer_tpu import demo
+
+
+@pytest.mark.parametrize(
+    "modality",
+    ["image", "audio", "time-series", "point", "tabular", "graph", "hyper"],
+)
+def test_demo_synthetic(modality, capsys):
+    assert demo.main(["--modality", modality, "--synthetic"]) == 0
+    out = capsys.readouterr().out
+    assert f"modality={modality}" in out and "pooled[0:8]" in out
+
+
+def test_demo_with_head_and_npy_input(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 224, 224, 3)).astype(np.float32)
+    np.save(tmp_path / "img.npy", x)
+    np.savez(tmp_path / "head.npz", w=rng.normal(size=(768, 10)).astype(np.float32),
+             b=np.zeros(10, np.float32))
+    rc = demo.main([
+        "--modality", "image", "--input", str(tmp_path / "img.npy"),
+        "--head", str(tmp_path / "head.npz"), "--top-k", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top-k:" in out and out.count("class ") == 3
