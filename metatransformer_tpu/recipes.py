@@ -237,13 +237,17 @@ def build_hyper(cfg, key, smoke=False):
 
 
 def build_time_series(cfg, key, smoke=False):
-    """ETT long-term forecasting (Time-Series/run.py:109-118 +
-    models/MetaTransformer.py task dispatch)."""
+    """Time-series task dispatch (Time-Series/run.py:109-118 +
+    models/MetaTransformer.py): long/short-term forecasting (ETT / M4,
+    MSE / sMAPE loss) and UEA-style sequence classification."""
     from metatransformer_tpu.models import time_series as ts_model
 
     ecfg = _encoder_cfg(cfg, smoke)
     m = cfg.model
+    task = m.get("task", "long_term_forecast")
     seq_len = 8 if smoke else m.seq_len
+    if task == "classification":
+        return _build_ts_classification(cfg, key, ecfg, seq_len, smoke)
     pred_len = 4 if smoke else m.pred_len
     label_len = seq_len // 2
     mcfg = ts_model.TimeSeriesModelConfig(
@@ -272,8 +276,16 @@ def build_time_series(cfg, key, smoke=False):
         )
         return pred
 
-    def mse(pred, label):
-        return jnp.mean((pred - label) ** 2)
+    if cfg.train.get("loss") == "smape":
+        # the M4 metric-as-loss (Time-Series/utils/losses.py smape_loss)
+        def loss(pred, label):
+            return jnp.mean(
+                200.0 * jnp.abs(pred - label)
+                / (jnp.abs(pred) + jnp.abs(label) + 1e-8)
+            )
+    else:
+        def loss(pred, label):
+            return jnp.mean((pred - label) ** 2)
 
     def synth(batch_size, n_batches, seed):
         rng = np.random.default_rng(seed)
@@ -308,9 +320,49 @@ def build_time_series(cfg, key, smoke=False):
             }
 
     return Recipe(
-        params, forward, synth, loss_fn=mse, classification=False,
+        params, forward, synth, loss_fn=loss, classification=False,
         best_mode="min",
     )
+
+
+def _build_ts_classification(cfg, key, ecfg, seq_len, smoke):
+    """UEA sequence classification (Time-Series/exp/exp_classification.py:
+    flattened encoder features + GELU -> linear over num_classes)."""
+    from metatransformer_tpu.models import time_series as ts_model
+
+    m = cfg.model
+    mcfg = ts_model.TimeSeriesModelConfig(
+        task="classification",
+        seq_len=seq_len,
+        pred_len=0,
+        enc_in=m.enc_in,
+        dec_in=m.enc_in,
+        c_out=m.enc_in,
+        num_classes=m.num_classes,
+        embed_type=m.get("embed", "fixed"),
+        freq=m.get("freq", "h"),
+        encoder=ecfg,
+        decoder=ts_model.DecoderConfig(
+            dim=ecfg.dim, d_ff=4 * ecfg.dim, num_heads=4, depth=1
+        ),
+    )
+    params = ts_model.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return ts_model.forward(p, x, mcfg, precision=enc.BF16)
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            yield {
+                "input": jnp.asarray(
+                    rng.standard_normal((batch_size, seq_len, m.enc_in)),
+                    jnp.float32,
+                ),
+                "label": _labels(rng, batch_size, m.num_classes),
+            }
+
+    return Recipe(params, forward, synth)
 
 
 def build_graph(cfg, key, smoke=False):
@@ -444,6 +496,72 @@ def build_segmentation(cfg, key, smoke=False):
     return Recipe(
         params, forward, synth, loss_fn=_identity_loss,
         classification=False, best_mode="min",
+    )
+
+
+def build_point_seg(cfg, key, smoke=False):
+    """Point-cloud semantic / part segmentation (S3DIS 13-class rooms,
+    ShapeNetPart 50 parts — ``PointCloud/examples/segmentation`` +
+    ``openpoints/models/segmentation/base_seg.py:15``): shared-encoder
+    seg path with 3-NN feature propagation back to every point."""
+    from metatransformer_tpu.models import point_segmenter
+    from metatransformer_tpu.tokenizers import point as point_tok
+
+    ecfg = _encoder_cfg(cfg, smoke)
+    m = cfg.model
+    t = m.get("tokenizer", {})
+    in_channels = t.get("in_channels", 3)
+    n_points = 64 if smoke else cfg.train.get("num_points", 2048)
+    mcfg = point_segmenter.PointSegmenterConfig(
+        tokenizer=point_tok.PointTokenizerConfig(
+            sample_ratio=t.get("sample_ratio", 0.25),
+            group_size=8 if smoke else t.get("group_size", 32),
+            in_channels=in_channels,
+            embed_dim=ecfg.dim,
+            feature_type=t.get("feature_type", "dp_fj"),
+        ),
+        encoder=ecfg,
+        num_classes=m.num_classes,
+        head_hidden=32 if smoke else 256,
+    )
+    params = point_segmenter.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return point_segmenter.forward(
+            p, x["points"], mcfg,
+            features=x.get("features"), precision=enc.BF16,
+        )
+
+    def seg_ce(logits, labels):
+        import optax
+
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            pts = rng.standard_normal((batch_size, n_points, 3)).astype(
+                np.float32
+            )
+            batch = {"points": jnp.asarray(pts)}
+            if in_channels > 3:
+                batch["features"] = jnp.asarray(
+                    rng.standard_normal(
+                        (batch_size, n_points, in_channels)
+                    ).astype(np.float32)
+                )
+            yield {
+                "input": batch,
+                "label": jnp.asarray(
+                    rng.integers(0, m.num_classes, (batch_size, n_points))
+                ),
+            }
+
+    return Recipe(
+        params, forward, synth, loss_fn=seg_ce, classification=False,
+        best_mode="min",
     )
 
 
@@ -1332,6 +1450,8 @@ def build(cfg, key, smoke: bool = False) -> Recipe:
             raise SystemExit(f"unknown 3D detector NAME {name!r}")
         return DET3D_BUILDERS[name](cfg, key, smoke)
     if task == "segmentation":
+        if cfg.get("modality") in ("point", "pointcloud"):
+            return build_point_seg(cfg, key, smoke)
         if cfg.model.get("NAME") == "Mask2FormerSegmentor":
             return build_mask2former(cfg, key, smoke)
         return build_segmentation(cfg, key, smoke)
