@@ -68,7 +68,12 @@ class EncoderConfig:
     num_heads: int = 12
     mlp_ratio: float = 4.0
     ln_eps: float = 1e-5  # torch nn.LayerNorm default, as in README demo
-    attn_impl: str = "auto"  # "xla" | "flash" | "auto"
+    attn_impl: str = "auto"  # "xla" | "flash" | "auto" | "performer"
+    # FAVOR+ options (attn_impl="performer" only; the optional TokenGT
+    # path, Graph/metatransformer/modules/performer_pytorch.py:61-151).
+    # 0 features -> 2 * head_dim. Redraw = bump the seed (one recompile).
+    performer_features: int = 0
+    performer_seed: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -144,6 +149,20 @@ def attention(
     q = jnp.einsum("btd,dhk->bhtk", xc, w[:, 0], precision=mm) + b3[0][:, None]
     k = jnp.einsum("btd,dhk->bhtk", xc, w[:, 1], precision=mm) + b3[1][:, None]
     v = jnp.einsum("btd,dhk->bhtk", xc, w[:, 2], precision=mm) + b3[2][:, None]
+    if impl == "performer":
+        from metatransformer_tpu.ops import performer as _perf
+
+        nf = cfg.performer_features or 2 * hd
+        feats = jnp.asarray(
+            _perf.orthogonal_random_features(cfg.performer_seed, nf, hd)
+        )
+        o = _perf.favor_attention(q, k, v, feats, mask=mask)
+        proj = p["proj_w"].astype(cd).reshape(h, hd, d)
+        out = (
+            jnp.einsum("bhtk,hkd->btd", o, proj, precision=mm)
+            + p["proj_b"].astype(cd)
+        )
+        return out.astype(x.dtype)
     if precision.is_bf16:
         logits = jnp.einsum("bhtk,bhsk->bhts", q * scale, k, precision=mm)
         if mask is not None:

@@ -374,6 +374,9 @@ def build_graph(cfg, key, smoke=False):
 
     heads = cfg.model.get("encoder_heads", 32)
     ecfg = _encoder_cfg(cfg, smoke, num_heads=4 if smoke else heads)
+    if cfg.model.get("performer", False):
+        # the optional FAVOR+ path (tokengt_graph_encoder.py:223-245)
+        ecfg = dataclasses.replace(ecfg, attn_impl="performer")
     t = cfg.model.tokenizer
     lap_k = 3 if smoke else t.get("lap_node_id_k", 16)
     mcfg = graph_predictor.GraphPredictorConfig(
