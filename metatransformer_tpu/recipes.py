@@ -116,6 +116,8 @@ def build_video(cfg, key, smoke=False):
     from metatransformer_tpu.models import video_classifier
     from metatransformer_tpu.tokenizers import video as video_tok
 
+    if cfg.model.get("pretrain", False):
+        return _build_video_mae(cfg, key, smoke)
     ecfg = _encoder_cfg(cfg, smoke)
     t = cfg.model.tokenizer
     frames = 4 if smoke else t.num_frames
@@ -148,6 +150,54 @@ def build_video(cfg, key, smoke=False):
             }
 
     return Recipe(params, forward, synth)
+
+
+def _build_video_mae(cfg, key, smoke=False):
+    """VideoMAE tube-masked pretraining (Video/models/modeling_pretrain.py
+    + dataset/masking_generator.py; run_mae_pretraining entry)."""
+    from metatransformer_tpu.models import video_pretrain
+    from metatransformer_tpu.tokenizers import video as video_tok
+
+    ecfg = _encoder_cfg(cfg, smoke)
+    t = cfg.model.tokenizer
+    frames = 4 if smoke else t.num_frames
+    img = 16 if smoke else t.img_size
+    patch = 8 if smoke else t.patch_size
+    d = cfg.model.get("decoder", {})
+    mcfg = video_pretrain.VideoMAEConfig(
+        tokenizer=video_tok.VideoTokenizerConfig(
+            num_frames=frames, img_size=img, patch_size=patch,
+            tubelet_size=t.tubelet_size, dim=ecfg.dim,
+        ),
+        encoder=ecfg,
+        decoder=enc.EncoderConfig(
+            dim=16 if smoke else d.get("dim", 384),
+            depth=1 if smoke else d.get("depth", 4),
+            num_heads=2 if smoke else d.get("num_heads", 6),
+        ),
+        mask_ratio=0.5 if smoke else cfg.model.get("mask_ratio", 0.9),
+    )
+    params = video_pretrain.init(mcfg, key)
+
+    def forward(p, x, rng):
+        loss, _ = video_pretrain.forward_loss(p, x, rng, mcfg)
+        return loss
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            yield {
+                "input": jnp.asarray(
+                    rng.standard_normal((batch_size, frames, img, img, 3)),
+                    jnp.float32,
+                ),
+                "label": jnp.zeros((batch_size,), jnp.int32),  # unused
+            }
+
+    return Recipe(
+        params, forward, synth, loss_fn=_identity_loss,
+        classification=False, best_mode="min",
+    )
 
 
 def build_tabular(cfg, key, smoke=False):
@@ -248,6 +298,8 @@ def build_time_series(cfg, key, smoke=False):
     seq_len = 8 if smoke else m.seq_len
     if task == "classification":
         return _build_ts_classification(cfg, key, ecfg, seq_len, smoke)
+    if task in ("imputation", "anomaly_detection"):
+        return _build_ts_reconstruction(cfg, key, ecfg, seq_len, task, smoke)
     pred_len = 4 if smoke else m.pred_len
     label_len = seq_len // 2
     mcfg = ts_model.TimeSeriesModelConfig(
@@ -317,6 +369,81 @@ def build_time_series(cfg, key, smoke=False):
                     ),
                 },
                 "label": jnp.asarray(y),
+            }
+
+    return Recipe(
+        params, forward, synth, loss_fn=loss, classification=False,
+        best_mode="min",
+    )
+
+
+def _build_ts_reconstruction(cfg, key, ecfg, seq_len, task, smoke):
+    """Imputation / anomaly detection (Time-Series/exp/{exp_imputation,
+    exp_anomaly_detection}.py): per-timestep projection of encoder
+    features back to the input channels; imputation scores MSE on the
+    *masked* positions only, anomaly detection on the full reconstruction."""
+    from metatransformer_tpu.models import time_series as ts_model
+
+    m = cfg.model
+    mcfg = ts_model.TimeSeriesModelConfig(
+        task=task,
+        seq_len=seq_len,
+        pred_len=0,
+        enc_in=m.enc_in,
+        dec_in=m.enc_in,
+        c_out=m.enc_in,
+        embed_type=m.get("embed", "fixed"),
+        freq=m.get("freq", "h"),
+        encoder=ecfg,
+        decoder=ts_model.DecoderConfig(
+            dim=ecfg.dim, d_ff=4 * ecfg.dim, num_heads=4, depth=1
+        ),
+    )
+    params = ts_model.init(mcfg, key)
+    mask_rate = m.get("mask_rate", 0.375)  # TSLib imputation default
+
+    def forward(p, x, rng):
+        return ts_model.forward(
+            p, x["x_enc"], mcfg, x.get("x_mark_enc"), precision=enc.BF16
+        )
+
+    if task == "imputation":
+        def loss(recon, label):
+            miss = 1.0 - label["observed"]  # [B, T, C], 1 = to impute
+            return jnp.sum((recon - label["y"]) ** 2 * miss) / jnp.maximum(
+                jnp.sum(miss), 1.0
+            )
+    else:
+        def loss(recon, label):
+            return jnp.mean((recon - label["y"]) ** 2)
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            y = rng.standard_normal(
+                (batch_size, seq_len, m.enc_in)
+            ).astype(np.float32)
+            marks = rng.integers(0, 4, (batch_size, seq_len, 4)).astype(
+                np.int32
+            )
+            if task == "imputation":
+                observed = (
+                    rng.uniform(size=(batch_size, seq_len, m.enc_in))
+                    > mask_rate
+                ).astype(np.float32)
+                x_enc = y * observed
+            else:
+                observed = np.ones_like(y)
+                x_enc = y
+            yield {
+                "input": {
+                    "x_enc": jnp.asarray(x_enc),
+                    "x_mark_enc": jnp.asarray(marks),
+                },
+                "label": {
+                    "y": jnp.asarray(y),
+                    "observed": jnp.asarray(observed),
+                },
             }
 
     return Recipe(
