@@ -8,7 +8,9 @@ from metatransformer_tpu import demo
 
 @pytest.mark.parametrize(
     "modality",
-    ["image", "audio", "time-series", "point", "tabular", "graph", "hyper"],
+    ["image", "audio", "time-series", "point", "tabular", "graph", "hyper",
+     "text", "imu", "infrared", "x-ray"],  # video omitted: full-geometry
+     # encoder at 1568 tokens is needlessly slow on the 1-core CPU CI
 )
 def test_demo_synthetic(modality, capsys):
     assert demo.main(["--modality", modality, "--synthetic"]) == 0
