@@ -43,6 +43,35 @@ class AudioClassifierConfig:
         )
 
 
+def adapt_pos_embed(
+    pos_embed: jax.Array,  # [1, n_prefix + f0*t0, D]
+    old_grid: tuple,  # (f0, t0) — AudioSet AST: (12, 101)
+    new_grid: tuple,  # (f1, t1) for the target fstride/tstride geometry
+    n_prefix: int = 2,  # cls + dist tokens
+) -> jax.Array:
+    """Adapt an (AudioSet-)pretrained AST positional embedding to a new
+    time-frequency patch grid (``Audio/src/models/ast_models.py:98-135``):
+    smaller target grids take a CENTER CUT of the source grid, larger ones
+    bilinearly interpolate — time axis first, then frequency, exactly the
+    reference's order. Returns [1, n_prefix + f1*t1, D]."""
+    f0, t0 = old_grid
+    f1, t1 = new_grid
+    prefix = pos_embed[:, :n_prefix]
+    d = pos_embed.shape[-1]
+    grid = pos_embed[:, n_prefix:].reshape(1, f0, t0, d)
+    if t1 < t0:
+        start = t0 // 2 - t1 // 2
+        grid = grid[:, :, start : start + t1]
+    elif t1 > t0:
+        grid = jax.image.resize(grid, (1, f0, t1, d), method="bilinear")
+    if f1 < f0:
+        start = f0 // 2 - f1 // 2
+        grid = grid[:, start : start + f1]
+    elif f1 > f0:
+        grid = jax.image.resize(grid, (1, f1, t1, d), method="bilinear")
+    return jnp.concatenate([prefix, grid.reshape(1, f1 * t1, d)], axis=1)
+
+
 def init(cfg: AudioClassifierConfig, key: jax.Array) -> Dict[str, Any]:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     params: Dict[str, Any] = {

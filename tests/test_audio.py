@@ -92,3 +92,46 @@ def test_waveform_to_logits_one_program():
     logits = audio_classifier.forward_waveform(params, wav, cfg)
     assert logits.shape == (2, 5)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestAdaptPosEmbed:
+    """AudioSet-pretrained pos-embed cut/interp adaptation
+    (ast_models.py:98-135)."""
+
+    def _pos(self, f0=12, t0=101, d=8, prefix=2):
+        rng = np.random.default_rng(0)
+        return jnp.asarray(
+            rng.standard_normal((1, prefix + f0 * t0, d)).astype(np.float32)
+        )
+
+    def test_cut_is_center_slice(self):
+        pos = self._pos()
+        out = audio_classifier.adapt_pos_embed(pos, (12, 101), (12, 25))
+        assert out.shape == (1, 2 + 12 * 25, 8)
+        grid = np.asarray(pos[:, 2:]).reshape(1, 12, 101, 8)
+        start = 101 // 2 - 25 // 2
+        expect = grid[:, :, start : start + 25].reshape(1, -1, 8)
+        np.testing.assert_allclose(np.asarray(out[:, 2:]), expect)
+        np.testing.assert_allclose(np.asarray(out[:, :2]), np.asarray(pos[:, :2]))
+
+    def test_interpolate_grows_both_axes(self):
+        pos = self._pos()
+        out = audio_classifier.adapt_pos_embed(pos, (12, 101), (16, 128))
+        assert out.shape == (1, 2 + 16 * 128, 8)
+        # bilinear resize of a constant field stays constant
+        const = jnp.concatenate(
+            [jnp.zeros((1, 2, 8)), jnp.ones((1, 12 * 101, 8))], axis=1
+        )
+        out_c = audio_classifier.adapt_pos_embed(const, (12, 101), (16, 128))
+        np.testing.assert_allclose(np.asarray(out_c[:, 2:]), 1.0, atol=1e-5)
+
+    def test_mixed_cut_time_grow_freq(self):
+        pos = self._pos()
+        out = audio_classifier.adapt_pos_embed(pos, (12, 101), (14, 50))
+        assert out.shape == (1, 2 + 14 * 50, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_identity_grid_is_noop(self):
+        pos = self._pos()
+        out = audio_classifier.adapt_pos_embed(pos, (12, 101), (12, 101))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pos))
