@@ -208,7 +208,13 @@ def build_tabular(cfg, key, smoke=False):
     from metatransformer_tpu.tokenizers import tabular as tab_tok
 
     ecfg = _encoder_cfg(cfg, smoke)
-    n_cat, vocab, n_cont = (3, 8, 2) if smoke else (9, 42, 6)
+    m = cfg.model
+    if smoke:
+        n_cat, vocab, n_cont = 3, 8, 2
+    else:
+        n_cat = m.get("n_categorical", 9)
+        vocab = m.get("vocab_size", 42)
+        n_cont = m.get("n_continuous", 6)
     mcfg = tabular_classifier.TabularClassifierConfig(
         tokenizer=tab_tok.TabularTokenizerConfig(
             vocab_sizes=(vocab,) * n_cat, n_continuous=n_cont, dim=ecfg.dim
@@ -239,7 +245,15 @@ def build_tabular(cfg, key, smoke=False):
                 "label": _labels(rng, batch_size, cfg.model.num_classes),
             }
 
-    return Recipe(params, forward, synth)
+    loss_fn = None
+    if cfg.train.get("loss") == "focal":
+        # the Bank-Marketing focal option (bankm_meta-transformer.py)
+        from metatransformer_tpu.train import losses as tr_losses
+
+        def loss_fn(logits, labels):
+            return tr_losses.focal(logits, labels)
+
+    return Recipe(params, forward, synth, loss_fn=loss_fn)
 
 
 def build_hyper(cfg, key, smoke=False):
