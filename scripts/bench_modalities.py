@@ -96,9 +96,28 @@ SPECS = {
 }
 
 
+def _config(modality: str):
+    """Explicit tokenizer configs where the defaults carry no schema."""
+    if modality == "tabular":
+        from metatransformer_tpu.tokenizers import tabular as tab_tok
+
+        return tab_tok.TabularTokenizerConfig(vocab_sizes=(8,) * 14, dim=768)
+    if modality == "time-series":
+        from metatransformer_tpu.tokenizers import time_series as ts_tok
+
+        return ts_tok.TimeSeriesConfig(c_in=7, dim=768)
+    if modality == "hyper":
+        from metatransformer_tpu.tokenizers import hyper as hyper_tok
+
+        return hyper_tok.HyperTokenizerConfig(
+            img_size=1, near_band=49, num_tokens=200, dim=768
+        )
+    return None
+
+
 def bench_modality(modality: str, iters: int = 10):
     batch, make_raw, perturb = SPECS[modality]
-    facade = pipeline.Data2Seq(modality)
+    facade = pipeline.Data2Seq(modality, config=_config(modality))
     key = jax.random.PRNGKey(0)
     tok_params = facade.init(key)
     ecfg = enc.BASE
