@@ -1549,6 +1549,103 @@ def _point_builder(cfg, key, smoke=False):
     return Recipe(params, forward, synth)
 
 
+def _point_dispatch(cfg, key, smoke=False):
+    """MetaTransformer (default) vs baseline-zoo NAME dispatch."""
+    if cfg.model.get("NAME") not in (None, "MetaTransformer", "BaseCls"):
+        return build_point_baseline(cfg, key, smoke)
+    return _point_builder(cfg, key, smoke)
+
+
+def _point_zoo_smoke_cfg(name, num_classes):
+    """Tiny structurally-identical geometry per zoo entry (mirrors the
+    small configs the unit tests train with)."""
+    from metatransformer_tpu.models import (
+        curvenet as cn, point_baselines as pb, point_baselines2 as pb2,
+    )
+
+    table = {
+        "PointNet2Encoder": lambda: pb.PointNet2Config(
+            num_classes=num_classes,
+            stages=(
+                pb.SAMSGStage(32, (0.2, 0.4), (8, 16), ((8, 16), (8, 16))),
+                pb.SAMSGStage(8, (0.4, 0.8), (8, 16), ((16, 32), (16, 32))),
+            ),
+            global_mlp=(32, 64), head_fcs=(32,),
+        ),
+        "DGCNN": lambda: pb.DGCNNConfig(
+            num_classes=num_classes, k=8, edge_channels=(8, 8, 16),
+            emb_dim=32, head_fcs=(16,),
+        ),
+        "PointMLP": lambda: pb.PointMLPConfig(
+            num_classes=num_classes, embed_dim=8, k=8,
+            stage_channels=(8, 16), head_fcs=(16,),
+        ),
+        "PointNeXt": lambda: pb.PointNeXtConfig(
+            num_classes=num_classes, stem_dim=8, stage_channels=(8, 16),
+            base_radius=0.3, k=8, head_fcs=(16,),
+        ),
+        "PointNetEncoder": lambda: pb2.PointNetConfig(
+            num_classes=num_classes, head_fcs=(32,)
+        ),
+        "PCT": lambda: pb2.PCTConfig(
+            num_classes=num_classes, stem=(8, 8), stage_points=(16, 8),
+            stage_channels=(16, 32), k=8, num_sa=2, fuse_dim=32,
+            head_fcs=(16,),
+        ),
+        "PointViT": lambda: pb2.PointViTConfig(
+            num_classes=num_classes, dim=32, depth=2, num_heads=4,
+            num_groups=128, group_size=8, head_fcs=(16,),
+        ),
+        "DeepGCN": lambda: pb2.DeepGCNConfig(
+            num_classes=num_classes, channels=8, emb_dim=32, n_blocks=3,
+            k=4, head_fcs=(16,),
+        ),
+        "CurveNet": lambda: cn.CurveNetConfig(
+            num_classes=num_classes, embed_dim=8, k=8,
+            stages=(
+                cn.CICStage(64, 0.4, 8, 16, (8, 3)),
+                cn.CICStage(16, 0.8, 8, 32, None),
+            ),
+            head_fcs=(16,),
+        ),
+    }
+    return table[name]()
+
+
+def build_point_baseline(cfg, key, smoke=False):
+    """Baseline-zoo classification recipes: cfg.model.NAME selects a
+    registry backbone (the openpoints ``cfgs/modelnet40ply2048/*.yaml``
+    launcher surface: one YAML per vendored baseline)."""
+    # imports for registry side-effects
+    from metatransformer_tpu.models import (  # noqa: F401
+        curvenet, point_baselines, point_baselines2,
+    )
+    from metatransformer_tpu.utils.registry import MODELS
+
+    name = cfg.model.NAME
+    mod = MODELS.get(name)
+    ncls = cfg.model.num_classes
+    mcfg = _point_zoo_smoke_cfg(name, ncls) if smoke else mod.Config(
+        num_classes=ncls
+    )
+    params = mod.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return mod.forward(p, x, mcfg)
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        n = 64 if smoke else cfg.train.get("num_points", 1024)
+        for _ in range(n_batches):
+            pts = rng.standard_normal((batch_size, n, 3)).astype(np.float32)
+            yield {
+                "input": jnp.asarray(pts * 0.5),
+                "label": _labels(rng, batch_size, ncls),
+            }
+
+    return Recipe(params, forward, synth)
+
+
 def _audio_builder(cfg, key, smoke=False):
     from metatransformer_tpu import train_cli
 
@@ -1613,8 +1710,8 @@ def build(cfg, key, smoke: bool = False) -> Recipe:
         "graph": build_graph,
         "tabular": build_tabular,
         "hyper": build_hyper,
-        "point": _point_builder,
-        "pointcloud": _point_builder,
+        "point": _point_dispatch,
+        "pointcloud": _point_dispatch,
         "audio": _audio_builder,
     }
     if modality not in builders:
