@@ -651,8 +651,10 @@ def build_point_seg(cfg, key, smoke=False):
     from metatransformer_tpu.models import point_segmenter
     from metatransformer_tpu.tokenizers import point as point_tok
 
-    ecfg = _encoder_cfg(cfg, smoke)
     m = cfg.model
+    if m.get("NAME") == "PointTransformerSeg":
+        return _build_point_transformer_seg(cfg, key, smoke)
+    ecfg = _encoder_cfg(cfg, smoke)
     t = m.get("tokenizer", {})
     in_channels = t.get("in_channels", 3)
     n_points = 64 if smoke else cfg.train.get("num_points", 2048)
@@ -690,6 +692,67 @@ def build_point_seg(cfg, key, smoke=False):
                 np.float32
             )
             batch = {"points": jnp.asarray(pts)}
+            if in_channels > 3:
+                batch["features"] = jnp.asarray(
+                    rng.standard_normal(
+                        (batch_size, n_points, in_channels)
+                    ).astype(np.float32)
+                )
+            yield {
+                "input": batch,
+                "label": jnp.asarray(
+                    rng.integers(0, m.num_classes, (batch_size, n_points))
+                ),
+            }
+
+    return Recipe(
+        params, forward, synth, loss_fn=seg_ce, classification=False,
+        best_mode="min",
+    )
+
+
+def _build_point_transformer_seg(cfg, key, smoke=False):
+    """PointTransformer vector-attention seg baseline as a recipe
+    (openpoints pointtransformer.py PTSeg; S3DIS launcher surface)."""
+    from metatransformer_tpu.models import point_transformer_seg as pts
+
+    m = cfg.model
+    if smoke:
+        mcfg = pts.PointTransformerSegConfig(
+            num_classes=m.num_classes, in_channels=3, width=8,
+            blocks=(2, 2, 2), strides=(1, 4, 4), nsample=(8, 8, 8),
+            share_planes=4,
+        )
+        n_points, in_channels = 64, 3
+    else:
+        in_channels = m.get("tokenizer", {}).get("in_channels", 3)
+        mcfg = pts.PointTransformerSegConfig(
+            num_classes=m.num_classes, in_channels=in_channels,
+            width=m.get("width", 32),
+        )
+        n_points = cfg.train.get("num_points", 2048)
+    params = pts.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return pts.forward(p, x["points"], mcfg, features=x.get("features"))
+
+    def seg_ce(logits, labels):
+        import optax
+
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            batch = {
+                "points": jnp.asarray(
+                    rng.standard_normal((batch_size, n_points, 3)).astype(
+                        np.float32
+                    )
+                )
+            }
             if in_channels > 3:
                 batch["features"] = jnp.asarray(
                     rng.standard_normal(
