@@ -86,6 +86,43 @@ def save_rotating(
     return path
 
 
+def average_checkpoints(paths) -> Dict[str, Any]:
+    """Uniform parameter average over saved checkpoints — the AST weight-
+    averaging eval (``Audio/src/run.py:68-70`` --wa flags, traintest
+    ``validate_wa``) and fairseq's average_checkpoints (Graph recipes).
+    Float leaves are averaged; integer leaves (epoch counters, step ids)
+    are taken from the LAST checkpoint."""
+    paths = list(paths)
+    if not paths:
+        raise ValueError("average_checkpoints needs at least one path")
+    states = [load(p) for p in paths]
+    last = states[-1]
+
+    def avg(*leaves):
+        if not np.issubdtype(np.asarray(leaves[0]).dtype, np.floating):
+            return leaves[-1]
+        return np.mean(np.stack([np.asarray(l) for l in leaves]), axis=0)
+
+    return jax.tree_util.tree_map(avg, *states)
+
+
+def average_epoch_range(
+    ckpt_dir: str, start: int, end: int
+) -> Dict[str, Any]:
+    """Average ckpt_epoch_{start..end} (inclusive) from a rotation dir
+    (the ``validate_wa(model, loader, args, wa_start, wa_end)`` range)."""
+    paths = [
+        os.path.join(ckpt_dir, f"ckpt_epoch_{e:04d}.npz")
+        for e in range(start, end + 1)
+    ]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        raise FileNotFoundError(
+            f"no ckpt_epoch_*.npz in [{start}, {end}] under {ckpt_dir}"
+        )
+    return average_checkpoints(paths)
+
+
 def auto_resume(ckpt_dir: str) -> Optional[Tuple[Dict[str, Any], int]]:
     """Load the newest epoch checkpoint if any: (state, epoch) or None."""
     latest = os.path.join(ckpt_dir, "ckpt_latest.npz")

@@ -286,3 +286,31 @@ def test_shipped_configs_load():
         cfg = load_config(os.path.join(root, name))
         assert cfg.encoder.scale == "base"
         assert cfg.train.epochs > 0
+
+
+def test_weight_averaging(tmp_path):
+    """AST --wa semantics (Audio/src/run.py:68-70): uniform average of the
+    epoch-range checkpoints; integer leaves come from the last one."""
+    from metatransformer_tpu.utils import checkpoint as ckpt
+
+    d = str(tmp_path)
+    for e in range(1, 4):
+        state = {
+            "w": np.full((2, 2), float(e), np.float32),
+            "nested": {"b": np.full((3,), 10.0 * e, np.float32)},
+        }
+        ckpt.save_rotating(d, state, epoch=e)
+
+    avg = ckpt.average_epoch_range(d, 1, 3)
+    np.testing.assert_allclose(avg["w"], 2.0)
+    np.testing.assert_allclose(avg["nested"]["b"], 20.0)
+    assert int(avg["epoch"]) == 3  # integer leaf: last checkpoint wins
+
+    # sub-range
+    avg12 = ckpt.average_epoch_range(d, 1, 2)
+    np.testing.assert_allclose(avg12["w"], 1.5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ckpt.average_epoch_range(d, 7, 9)
