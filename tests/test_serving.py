@@ -164,3 +164,89 @@ def test_daemon_propagates_errors():
     except KeyError:
         pass
     daemon.stop()
+
+
+def test_dispatcher_serves_eight_modalities():
+    """The BASELINE 'one chip serves all modalities' config: eight
+    Data2Seq facades with their native raw formats behind ONE dispatcher
+    and one shared encoder; every request comes back pooled, finite, in
+    order, and the bucket grouping collapses them into a handful of
+    programs."""
+    import dataclasses
+
+    d = 32
+    cfg = serving.ServingConfig(
+        encoder=enc.EncoderConfig(dim=d, depth=2, num_heads=2),
+        precision=enc.FP32,
+    )
+    rng = np.random.default_rng(0)
+    key = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+
+    from metatransformer_tpu.tokenizers import (
+        hyper as hyper_tok,
+        tabular as tab_tok,
+        time_series as ts_tok,
+    )
+
+    img = pipeline.Data2Seq("image", dim=d)
+    img = pipeline.Data2Seq(
+        "image", dim=d, config=dataclasses.replace(img.config, img_size=32, dim=d)
+    )
+    facades = {
+        "image": img,
+        "x-ray": img,  # same tokenizer family, separate params
+        "time-series": pipeline.Data2Seq(
+            "time-series", dim=d, config=ts_tok.TimeSeriesConfig(c_in=7, dim=d)
+        ),
+        "tabular": pipeline.Data2Seq(
+            "tabular", dim=d,
+            config=tab_tok.TabularTokenizerConfig(vocab_sizes=(8,) * 5, dim=d),
+        ),
+        "hyper": pipeline.Data2Seq(
+            "hyper", dim=d,
+            config=hyper_tok.HyperTokenizerConfig(
+                img_size=1, near_band=4, num_tokens=12, dim=d
+            ),
+        ),
+        "point": pipeline.Data2Seq("point", dim=d),
+        "audio": pipeline.Data2Seq("audio", dim=d),
+        # text is excluded: CLIP's 512-wide output zero-pads UP to the
+        # encoder dim (README.md zero_padding), so it can't shrink to a
+        # 32-d test encoder; graph stands in as the ragged-dict modality
+        "graph": pipeline.Data2Seq("graph", dim=d),
+    }
+    toks = {m: (f, f.init(next(key))) for m, (f) in facades.items()}
+    disp = serving.Dispatcher(
+        toks, enc.init(cfg.encoder, next(key)), cfg
+    )
+
+    n_nodes, n_edges = 6, 8
+    graph_batch = {
+        "node_data": rng.integers(0, 16, (1, n_nodes, 9)).astype(np.int32),
+        "edge_data": rng.integers(0, 4, (1, n_edges, 3)).astype(np.int32),
+        "edge_index": rng.integers(0, n_nodes, (1, n_edges, 2)).astype(np.int32),
+        "node_num": np.asarray([n_nodes], np.int32),
+        "edge_num": np.asarray([n_edges], np.int32),
+        "lap_eigvec": rng.standard_normal((1, n_nodes, 16)).astype(np.float32),
+    }
+    raws = {
+        "image": rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
+        "x-ray": rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
+        "time-series": rng.standard_normal((1, 48, 7)).astype(np.float32),
+        "tabular": rng.integers(0, 8, (1, 5)).astype(np.int32),
+        "hyper": rng.standard_normal((1, 12, 4)).astype(np.float32),
+        "point": rng.standard_normal((1, 128, 3)).astype(np.float32) * 0.5,
+        "audio": rng.standard_normal((1, 128, 128)).astype(np.float32),
+        "graph": graph_batch,
+    }
+    reqs = [
+        serving.Request(m, jax.tree.map(jnp.asarray, raws[m]))
+        for m in facades
+    ]
+    out = disp.serve(reqs)
+    assert len(out) == len(reqs)
+    for o in out:
+        assert o.shape == (d,)
+        assert np.isfinite(np.asarray(o)).all()
+    # bucketing must merge the 8 native lengths into far fewer programs
+    assert disp.num_programs <= 4, disp.stats
