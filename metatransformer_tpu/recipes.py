@@ -654,6 +654,8 @@ def build_point_seg(cfg, key, smoke=False):
     m = cfg.model
     if m.get("NAME") == "PointTransformerSeg":
         return _build_point_transformer_seg(cfg, key, smoke)
+    if m.get("NAME") in ("RandLANet", "BAAFNet"):
+        return _build_seg_baseline(cfg, key, smoke)
     ecfg = _encoder_cfg(cfg, smoke)
     t = m.get("tokenizer", {})
     in_channels = t.get("in_channels", 3)
@@ -702,6 +704,65 @@ def build_point_seg(cfg, key, smoke=False):
                 "input": batch,
                 "label": jnp.asarray(
                     rng.integers(0, m.num_classes, (batch_size, n_points))
+                ),
+            }
+
+    return Recipe(
+        params, forward, synth, loss_fn=seg_ce, classification=False,
+        best_mode="min",
+    )
+
+
+def _build_seg_baseline(cfg, key, smoke=False):
+    """RandLA-Net / BAAF-Net segmentation baselines as recipes
+    (openpoints ``randlenet.py`` / ``baafnet.py`` launcher surface)."""
+    from metatransformer_tpu.models import baafnet, randlanet  # noqa: F401
+    from metatransformer_tpu.utils.registry import MODELS
+
+    m = cfg.model
+    name = m.NAME
+    mod = MODELS.get(name)
+    ncls = m.num_classes
+    if smoke:
+        if name == "RandLANet":
+            mcfg = randlanet.RandLANetConfig(
+                num_classes=ncls, d_in=3, num_neighbors=8,
+                enc_dims=(8, 16), head_dims=(16,),
+            )
+        else:
+            mcfg = baafnet.BAAFNetConfig(
+                num_classes=ncls, d_in=3, k=8, dims=(4, 8, 16)
+            )
+        n_points = 64
+    else:
+        mcfg = mod.Config(num_classes=ncls, d_in=m.get("d_in", 3))
+        n_points = cfg.train.get("num_points", 4096)
+
+    params = mod.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return mod.forward(p, x["points"], mcfg, features=x.get("features"))
+
+    def seg_ce(logits, labels):
+        import optax
+
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            yield {
+                "input": {
+                    "points": jnp.asarray(
+                        rng.standard_normal(
+                            (batch_size, n_points, 3)
+                        ).astype(np.float32)
+                    )
+                },
+                "label": jnp.asarray(
+                    rng.integers(0, ncls, (batch_size, n_points))
                 ),
             }
 
