@@ -1732,8 +1732,18 @@ def _point_zoo_smoke_cfg(name, num_classes):
             ),
             head_fcs=(16,),
         ),
+        "SimpleView": lambda: _simpleview_smoke(num_classes),
     }
     return table[name]()
+
+
+def _simpleview_smoke(num_classes):
+    from metatransformer_tpu.models import simpleview as sv
+
+    return sv.SimpleViewConfig(
+        num_classes=num_classes, channels=4, resolution=32,
+        blocks_per_stage=1,
+    )
 
 
 def build_point_baseline(cfg, key, smoke=False):
@@ -1742,7 +1752,7 @@ def build_point_baseline(cfg, key, smoke=False):
     launcher surface: one YAML per vendored baseline)."""
     # imports for registry side-effects
     from metatransformer_tpu.models import (  # noqa: F401
-        curvenet, point_baselines, point_baselines2,
+        curvenet, point_baselines, point_baselines2, simpleview,
     )
     from metatransformer_tpu.utils.registry import MODELS
 
