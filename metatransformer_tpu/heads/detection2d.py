@@ -308,6 +308,9 @@ class RCNNConfig:
     stage_ious: Tuple[float, ...] = (0.5, 0.6, 0.7)
     mask_size: int = 14  # mask roi 14 -> deconv -> 28
     with_mask: bool = True
+    # "2fc" = Shared2FCBBoxHead; "4conv1fc" = Shared4Conv1FCBBoxHead (the
+    # upgraded_mask_rcnn configs' head: 4 conv3x3 on the RoI map + 1 FC)
+    bbox_head: str = "2fc"
 
 
 def _fc_init(key, cin, cout):
@@ -324,9 +327,26 @@ def rcnn_init(cfg: RCNNConfig, key: jax.Array) -> Params:
         # deltas at init keep cascade stages' refined boxes on top of the
         # proposals (large random deltas degenerate stage>0 boxes and
         # silently zero the later-stage losses)
-        p["stages"].append({
-            "fc1": _fc_init(next(keys), flat, cfg.fc_dim),
-            "fc2": _fc_init(next(keys), cfg.fc_dim, cfg.fc_dim),
+        if cfg.bbox_head == "4conv1fc":
+            stage = {
+                "convs": [
+                    {
+                        "w": jax.random.normal(
+                            next(keys), (3, 3, cfg.channels, cfg.channels)
+                        ) * (9 * cfg.channels) ** -0.5,
+                        "b": jnp.zeros((cfg.channels,)),
+                    }
+                    for _ in range(4)
+                ],
+                "fc1": _fc_init(next(keys), flat, cfg.fc_dim),
+            }
+        else:
+            stage = {
+                "fc1": _fc_init(next(keys), flat, cfg.fc_dim),
+                "fc2": _fc_init(next(keys), cfg.fc_dim, cfg.fc_dim),
+            }
+        p["stages"].append(stage)
+        p["stages"][-1].update({
             "cls": {
                 "w": jax.random.normal(
                     next(keys), (cfg.fc_dim, cfg.num_classes + 1)
@@ -360,6 +380,19 @@ def rcnn_init(cfg: RCNNConfig, key: jax.Array) -> Params:
 def bbox_head_apply(stage_params: Params, roi_feats: jax.Array, mm):
     """[B, P, o, o, C] -> (cls_logits [B, P, C+1], deltas [B, P, 4])."""
     b, p = roi_feats.shape[:2]
+    if "convs" in stage_params:  # Shared4Conv1FCBBoxHead
+        o, _, c = roi_feats.shape[2:]
+        x = roi_feats.reshape(b * p, o, o, c)
+        for cp in stage_params["convs"]:
+            x = jax.nn.relu(conv2d(x, cp["w"], cp["b"]))
+        x = x.reshape(b, p, -1)
+        x = jax.nn.relu(
+            jnp.dot(x, stage_params["fc1"]["w"], precision=mm)
+            + stage_params["fc1"]["b"]
+        )
+        cls = jnp.dot(x, stage_params["cls"]["w"], precision=mm) + stage_params["cls"]["b"]
+        reg = jnp.dot(x, stage_params["reg"]["w"], precision=mm) + stage_params["reg"]["b"]
+        return cls, reg
     x = roi_feats.reshape(b, p, -1)
     x = jax.nn.relu(jnp.dot(x, stage_params["fc1"]["w"], precision=mm) + stage_params["fc1"]["b"])
     x = jax.nn.relu(jnp.dot(x, stage_params["fc2"]["w"], precision=mm) + stage_params["fc2"]["b"])

@@ -1004,7 +1004,7 @@ def build_detection2d(cfg, key, smoke=False):
             rcnn=d2.RCNNConfig(
                 num_classes=5, channels=32, fc_dim=64, num_stages=stages,
                 stage_ious=stage_ious, with_mask=r.get("with_mask", True),
-                mask_size=7,
+                mask_size=7, bbox_head=r.get("bbox_head", "2fc"),
             ),
             img_size=bcfg.img_size,
         )
@@ -1018,6 +1018,7 @@ def build_detection2d(cfg, key, smoke=False):
             rcnn=d2.RCNNConfig(
                 num_classes=r.get("num_classes", 80), num_stages=stages,
                 stage_ious=stage_ious, with_mask=r.get("with_mask", True),
+                bbox_head=r.get("bbox_head", "2fc"),
             ),
             img_size=bcfg.img_size,
         )
@@ -1025,9 +1026,16 @@ def build_detection2d(cfg, key, smoke=False):
     img = mcfg.img_size
     nc = mcfg.rcnn.num_classes
 
+    use_lsj = cfg.train.get("lsj", False)
+
     def forward(p, x, rng):
+        image, gt_boxes = x["image"], x["gt_boxes"]
+        if use_lsj:
+            from metatransformer_tpu.train import augment as _aug
+
+            image, gt_boxes, _ = _aug.large_scale_jitter(rng, image, gt_boxes)
         loss, _logs = mask_rcnn.forward_train(
-            p, x["image"], x["gt_boxes"], x["gt_labels"], x["gt_valid"],
+            p, image, gt_boxes, x["gt_labels"], x["gt_valid"],
             mcfg, gt_masks=x["gt_masks"] if mcfg.rcnn.with_mask else None,
             precision=enc.BF16,
         )

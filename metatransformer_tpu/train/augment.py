@@ -99,3 +99,39 @@ def random_erase(rng, images: jax.Array, scale=(0.02, 0.33)) -> jax.Array:
     xmask = (xx >= x0) & (xx < x0 + ew)  # [B, W]
     box = ymask[:, :, None] & xmask[:, None, :]
     return jnp.where(box[..., None], noise, images)
+
+
+def large_scale_jitter(
+    rng,
+    images: jax.Array,  # [B, H, W, C]
+    boxes: jax.Array,  # [B, G, 4] xyxy (padded with zeros)
+    ratio_range=(0.1, 2.0),
+):
+    """LSJ: random-resize in [0.1, 2.0] then fixed-canvas crop/pad back to
+    the input size — the upgraded_mask_rcnn / DETR-origin augmentation
+    (``Image/detection/configs/upgraded_mask_rcnn/*_lsj_*.py`` Resize
+    ratio_range + absolute-range RandomCrop). Static output shapes: the
+    scaled content is placed at the canvas origin, boxes scaled and
+    clipped to the canvas; fully-cropped-out boxes collapse to zero area
+    (caller's gt_valid weighting treats them as background).
+    Returns (images', boxes', scale)."""
+    b, h, w, c = images.shape
+    k1, _ = jax.random.split(rng)
+    scale = jax.random.uniform(
+        k1, (), minval=ratio_range[0], maxval=ratio_range[1]
+    )
+    # resize the whole batch by `scale` onto an oversized canvas, then
+    # crop/pad back to (h, w). jax.image.scale_and_translate handles the
+    # fractional zoom in one XLA op with static output shape.
+    out = jax.image.scale_and_translate(
+        images.astype(jnp.float32),
+        shape=(b, h, w, c),
+        spatial_dims=(1, 2),
+        scale=jnp.asarray([scale, scale], jnp.float32),
+        translation=jnp.zeros((2,), jnp.float32),
+        method="bilinear",
+    )
+    new_boxes = boxes * scale
+    lim = jnp.asarray([w - 1, h - 1, w - 1, h - 1], jnp.float32)
+    new_boxes = jnp.clip(new_boxes, 0.0, lim)
+    return out, new_boxes, scale

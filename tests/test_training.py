@@ -314,3 +314,26 @@ def test_weight_averaging(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         ckpt.average_epoch_range(d, 7, 9)
+
+
+def test_large_scale_jitter():
+    """LSJ (upgraded_mask_rcnn pipeline): boxes scale with the image
+    content and clip to the canvas; output shape is static."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    boxes = jnp.asarray([[[4.0, 4.0, 16.0, 16.0]], [[0.0, 0.0, 30.0, 30.0]]])
+    out, new_boxes, scale = augment.large_scale_jitter(
+        jax.random.PRNGKey(3), imgs, boxes
+    )
+    assert out.shape == imgs.shape
+    s = float(scale)
+    assert 0.1 <= s <= 2.0
+    expect = np.clip(np.asarray(boxes) * s, 0, 31)
+    np.testing.assert_allclose(np.asarray(new_boxes), expect, atol=1e-5)
+    # downscaled content leaves the off-canvas region empty; upscaled
+    # content fills the whole canvas
+    a = np.asarray(out[0])
+    if s < 0.9:
+        assert np.abs(a[int(32 * s) + 2 :]).max() < 1e-4
