@@ -116,6 +116,33 @@ def naive2_forecast(history: np.ndarray, horizon: int, season: int) -> np.ndarra
     return np.full((horizon,), history[-1], np.float32)
 
 
+def mase(
+    pred: np.ndarray, true: np.ndarray, history: np.ndarray, season: int
+) -> float:
+    """Mean absolute scaled error: MAE scaled by the in-sample seasonal
+    naive MAE (the second M4 component metric)."""
+    season = max(int(season), 1)
+    if len(history) > season:
+        scale = np.mean(np.abs(history[season:] - history[:-season]))
+    else:
+        scale = np.mean(np.abs(np.diff(history))) if len(history) > 1 else 1.0
+    return float(np.mean(np.abs(pred - true)) / max(scale, 1e-8))
+
+
+def owa(
+    pred: np.ndarray, true: np.ndarray, history: np.ndarray, season: int
+) -> float:
+    """M4 overall weighted average: mean of (sMAPE, MASE) each normalized
+    by the Naive2 baseline's value on the same series
+    (``Time-Series/utils/m4_summary.py`` evaluation protocol)."""
+    n2 = naive2_forecast(history, len(true), season)
+    s_model = smape(pred, true)
+    s_naive = max(smape(n2, true), 1e-8)
+    m_model = mase(pred, true, history, season)
+    m_naive = max(mase(n2, true, history, season), 1e-8)
+    return float(0.5 * (s_model / s_naive + m_model / m_naive))
+
+
 # ---------------------------------------------------------------------------
 # UEA .ts archives
 # ---------------------------------------------------------------------------

@@ -437,3 +437,29 @@ def test_pandaset_world_ego_round_trip_and_cuboids(tmp_path):
     assert np.allclose(boxes[0, 3:6], [4.0, 2.0, 1.5])
     zrot = d3f.pandaset_zrot_world_to_ego(pose)
     assert np.isclose(boxes[0, 6], zrot, atol=1e-6)
+
+
+def test_m4_mase_and_owa():
+    """MASE scales MAE by the in-sample seasonal-naive MAE; OWA averages
+    naive2-normalized sMAPE and MASE — OWA of the naive2 forecast itself
+    is exactly 1 (the M4 evaluation protocol's anchor property)."""
+    from metatransformer_tpu.data import ts_providers as tsp
+
+    rng = np.random.default_rng(0)
+    season = 4
+    history = (
+        10 + np.sin(np.arange(40) * 2 * np.pi / season) + rng.normal(0, 0.1, 40)
+    ).astype(np.float32)
+    true = (
+        10 + np.sin(np.arange(40, 48) * 2 * np.pi / season)
+    ).astype(np.float32)
+
+    n2 = tsp.naive2_forecast(history, len(true), season)
+    assert abs(tsp.owa(n2, true, history, season) - 1.0) < 1e-6
+
+    # a perfect forecast beats naive2: OWA < 1 (sMAPE/MASE both ~0)
+    assert tsp.owa(true, true, history, season) < 0.05
+
+    # MASE of the seasonal-naive in-sample scale on a pure repeat is ~0
+    perfect_hist = np.tile(history[-season:], 10)
+    assert tsp.mase(true, true, perfect_hist, season) == 0.0
