@@ -33,9 +33,30 @@ def fgsm(loss_fn: LossFn, inputs, labels, epsilon: float = 0.03,
     return jnp.clip(adv, *clip)
 
 
+def bim_l2(loss_fn: LossFn, inputs, labels, epsilon: float = 1.0,
+           step: float = 0.2, iters: int = 10, clip=(0.0, 1.0)):
+    """L2 basic iterative method — the reference's "BIM" is foolbox's
+    *L2*BasicIterativeAttack (attack.py:96); gradient normalized to unit
+    L2, delta projected onto the epsilon ball, no random start."""
+    grad = _loss_grad(loss_fn)
+    axes = tuple(range(1, inputs.ndim))
+
+    def body(_, adv):
+        g = grad(adv, labels)
+        n = jnp.sqrt(jnp.sum(g**2, axis=axes, keepdims=True))
+        adv = adv + step * g / jnp.maximum(n, 1e-12)
+        delta = adv - inputs
+        dn = jnp.sqrt(jnp.sum(delta**2, axis=axes, keepdims=True))
+        delta = delta * jnp.minimum(1.0, epsilon / jnp.maximum(dn, 1e-12))
+        return jnp.clip(inputs + delta, *clip)
+
+    return jax.lax.fori_loop(0, iters, body, inputs)
+
+
 def bim(loss_fn: LossFn, inputs, labels, epsilon: float = 0.03,
         step: float = 0.01, iters: int = 10, clip=(0.0, 1.0)):
-    """Basic iterative method (Linf, no random start)."""
+    """Basic iterative method (Linf, no random start) — the reference's
+    "LinfBIM" (attack.py:137 LinfBasicIterativeAttack)."""
     grad = _loss_grad(loss_fn)
 
     def body(_, adv):
@@ -86,7 +107,86 @@ def pgd_l2(loss_fn: LossFn, inputs, labels, epsilon: float = 1.0,
     return jax.lax.fori_loop(0, iters, body, inputs)
 
 
-ATTACKS = {"fgsm": fgsm, "bim": bim, "pgd": pgd_linf, "pgd_l2": pgd_l2}
+def cw_l2(logits_fn: Callable[[jax.Array], jax.Array], inputs, labels,
+          binary_search_steps: int = 6, steps: int = 1000,
+          stepsize: float = 0.01, confidence: float = 0.0,
+          initial_const: float = 1e-3, clip=(0.0, 1.0)):
+    """Carlini & Wagner L2 attack (X-Ray/attack.py:75
+    ``fb.attacks.L2CarliniWagnerAttack(6, 1000, 0.01, 0)``).
+
+    Untargeted: minimize ||x_adv - x||^2 + c * f(x_adv) with
+    f = max(Z_y - max_{i != y} Z_i, -confidence), optimizing over the tanh
+    reparameterization w (x_adv = lo + (hi-lo) * (tanh(w)+1)/2) with Adam,
+    binary-searching the trade-off constant c per sample. Unlike the
+    epsilon-ball attacks above this takes the *logits* fn, since the CW
+    objective needs the margin, not a scalar loss.
+    """
+    lo, hi = clip
+    x0 = jnp.asarray(inputs)
+    b = x0.shape[0]
+    onehot = jax.nn.one_hot(labels, logits_fn(x0).shape[-1])
+    axes = tuple(range(1, x0.ndim))
+    # inverse of the tanh reparam at the clean input (eps keeps atanh finite)
+    t = jnp.clip((x0 - lo) / (hi - lo) * 2.0 - 1.0, -1 + 1e-6, 1 - 1e-6)
+    w0 = jnp.arctanh(t)
+
+    def to_x(w):
+        return lo + (hi - lo) * (jnp.tanh(w) + 1.0) * 0.5
+
+    def margin(logits):
+        z_true = jnp.sum(logits * onehot, -1)
+        z_other = jnp.max(logits - 1e9 * onehot, -1)
+        return z_true - z_other  # <0 means misclassified
+
+    def objective(w, c):
+        x = to_x(w)
+        l2 = jnp.sum((x - x0) ** 2, axis=axes)
+        f = jnp.maximum(margin(logits_fn(x)), -confidence)
+        return jnp.sum(l2 + c * f), (x, l2)
+
+    grad_fn = jax.grad(objective, has_aux=True)
+    b1, b2, eps_adam = 0.9, 0.999, 1e-8
+
+    @jax.jit
+    def optimize(c):
+        def body(i, st):
+            w, m, v, best_x, best_l2 = st
+            g, (x, l2) = grad_fn(w, c)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            mh = m / (1 - b1 ** (i + 1.0))
+            vh = v / (1 - b2 ** (i + 1.0))
+            w = w - stepsize * mh / (jnp.sqrt(vh) + eps_adam)
+            adv = margin(logits_fn(x)) < 0
+            better = adv & (l2 < best_l2)
+            bc = better.reshape((-1,) + (1,) * (x.ndim - 1))
+            return (w, m, v, jnp.where(bc, x, best_x),
+                    jnp.where(better, l2, best_l2))
+
+        z = jnp.zeros_like(w0)
+        init = (w0, z, z, x0, jnp.full((b,), jnp.inf))
+        _, _, _, best_x, best_l2 = jax.lax.fori_loop(0, steps, body, init)
+        return best_x, best_l2
+
+    c_lo = np.zeros(b)
+    c_hi = np.full(b, 1e10)
+    c = np.full(b, initial_const)
+    overall_x, overall_l2 = np.array(x0), np.full(b, np.inf)
+    for _ in range(binary_search_steps):
+        best_x, best_l2 = jax.device_get(optimize(jnp.asarray(c)))
+        found = np.isfinite(best_l2)
+        better = found & (best_l2 < overall_l2)
+        overall_x[better] = best_x[better]
+        overall_l2[better] = best_l2[better]
+        # success -> try smaller c (favor distance); failure -> raise c
+        c_hi = np.where(found, c, c_hi)
+        c_lo = np.where(found, c_lo, c)
+        c = np.where(c_hi < 1e10, (c_lo + c_hi) / 2.0, c * 10.0)
+    return jnp.asarray(overall_x)
+
+
+ATTACKS = {"fgsm": fgsm, "bim": bim, "bim_l2": bim_l2, "pgd": pgd_linf,
+           "pgd_l2": pgd_l2, "cw": cw_l2}
 
 
 def majority_voting(logit_list: Sequence[jax.Array]) -> jax.Array:

@@ -72,6 +72,18 @@ def chamfer_loss(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     return jnp.mean(d1 + d2)
 
 
+@jax.jit
+def chamfer_l1_loss(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """ChamferDistanceL1 (chamfer_dist/__init__.py ChamferDistanceL1):
+    mean of *euclidean* (not squared) bidirectional NN distances, halved —
+    the reconstruction loss used by MaskedPointViT
+    (openpoints/models/reconstruction/maskedpointvit.py:145-146)."""
+    d = square_dists(xyz1, xyz2)
+    d1 = jnp.sqrt(jnp.maximum(jnp.min(d, axis=2), 1e-12))
+    d2 = jnp.sqrt(jnp.maximum(jnp.min(d, axis=1), 1e-12))
+    return 0.5 * (jnp.mean(d1) + jnp.mean(d2))
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def emd_loss(
     xyz1: jax.Array,  # [B, N, 3]

@@ -654,7 +654,7 @@ def build_point_seg(cfg, key, smoke=False):
     m = cfg.model
     if m.get("NAME") == "PointTransformerSeg":
         return _build_point_transformer_seg(cfg, key, smoke)
-    if m.get("NAME") in ("RandLANet", "BAAFNet"):
+    if m.get("NAME") in ("RandLANet", "BAAFNet", "StratifiedTransformer"):
         return _build_seg_baseline(cfg, key, smoke)
     ecfg = _encoder_cfg(cfg, smoke)
     t = m.get("tokenizer", {})
@@ -716,7 +716,9 @@ def build_point_seg(cfg, key, smoke=False):
 def _build_seg_baseline(cfg, key, smoke=False):
     """RandLA-Net / BAAF-Net segmentation baselines as recipes
     (openpoints ``randlenet.py`` / ``baafnet.py`` launcher surface)."""
-    from metatransformer_tpu.models import baafnet, randlanet  # noqa: F401
+    from metatransformer_tpu.models import (  # noqa: F401
+        baafnet, randlanet, stratified_transformer,
+    )
     from metatransformer_tpu.utils.registry import MODELS
 
     m = cfg.model
@@ -729,11 +731,20 @@ def _build_seg_baseline(cfg, key, smoke=False):
                 num_classes=ncls, d_in=3, num_neighbors=8,
                 enc_dims=(8, 16), head_dims=(16,),
             )
+        elif name == "StratifiedTransformer":
+            mcfg = stratified_transformer.StratifiedConfig(
+                num_classes=ncls, in_channels=3,
+                channels=(8, 8, 16), depths=(1, 1, 2), num_heads=(1, 2, 2),
+                k=8, n_kernel_pts=5,
+            )
         else:
             mcfg = baafnet.BAAFNetConfig(
                 num_classes=ncls, d_in=3, k=8, dims=(4, 8, 16)
             )
         n_points = 64
+    elif name == "StratifiedTransformer":
+        mcfg = mod.Config(num_classes=ncls, in_channels=m.get("d_in", 3))
+        n_points = cfg.train.get("num_points", 4096)
     else:
         mcfg = mod.Config(num_classes=ncls, d_in=m.get("d_in", 3))
         n_points = cfg.train.get("num_points", 4096)
@@ -1683,9 +1694,57 @@ def _point_builder(cfg, key, smoke=False):
 
 def _point_dispatch(cfg, key, smoke=False):
     """MetaTransformer (default) vs baseline-zoo NAME dispatch."""
+    if cfg.model.get("NAME") == "MaskedPointViT":
+        return _build_point_mae(cfg, key, smoke)
     if cfg.model.get("NAME") not in (None, "MetaTransformer", "BaseCls"):
         return build_point_baseline(cfg, key, smoke)
     return _point_builder(cfg, key, smoke)
+
+
+def _build_point_mae(cfg, key, smoke=False):
+    """MAE-style point pretraining (openpoints/models/reconstruction/
+    maskedpointvit.py; examples/reconstruction launcher surface)."""
+    from metatransformer_tpu.models import point_mae
+
+    m = cfg.model
+    if smoke:
+        mcfg = point_mae.MaskedPointViTConfig(
+            dim=16, depth=1, num_heads=2, decoder_dim=8, decoder_depth=1,
+            decoder_heads=2, mask_ratio=0.5, sample_ratio=0.125,
+            group_size=8,
+        )
+        n_pts = 64
+    else:
+        mcfg = point_mae.MaskedPointViTConfig(
+            dim=m.get("dim", 384), depth=m.get("depth", 12),
+            num_heads=m.get("num_heads", 6),
+            decoder_dim=m.get("decoder_dim", 192),
+            decoder_depth=m.get("decoder_depth", 4),
+            decoder_heads=m.get("decoder_heads", 16),
+            mask_ratio=m.get("mask_ratio", 0.75),
+            sample_ratio=m.get("sample_ratio", 0.0625),
+            group_size=m.get("group_size", 32),
+        )
+        n_pts = cfg.train.get("num_points", 1024)
+    params = point_mae.init(mcfg, key)
+
+    def forward(p, x, rng):
+        loss, _ = point_mae.forward(p, x, rng, mcfg)
+        return loss
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            pts = rng.standard_normal((batch_size, n_pts, 3))
+            yield {
+                "input": jnp.asarray(pts * 0.5, jnp.float32),
+                "label": jnp.zeros((batch_size,), jnp.int32),  # unused
+            }
+
+    return Recipe(
+        params, forward, synth, loss_fn=_identity_loss,
+        classification=False, best_mode="min",
+    )
 
 
 def _point_zoo_smoke_cfg(name, num_classes):
@@ -1693,9 +1752,22 @@ def _point_zoo_smoke_cfg(name, num_classes):
     small configs the unit tests train with)."""
     from metatransformer_tpu.models import (
         curvenet as cn, point_baselines as pb, point_baselines2 as pb2,
+        point_baselines3 as pb3,
     )
 
     table = {
+        "BallDGCNN": lambda: pb3.BallDGCNNConfig(
+            num_classes=num_classes, channels=8, embed_dim=32, n_blocks=4,
+            k=8, radius=0.4, head_fcs=(16,),
+        ),
+        "GroupPointNet": lambda: pb3.GroupPointNetConfig(
+            num_classes=num_classes, channels=8, n_blocks=4, k=8,
+            head_fcs=(16,),
+        ),
+        "ViTGraph": lambda: pb3.ViTGraphConfig(
+            num_classes=num_classes, encoder_dim=32, embed_dim=16, depth=2,
+            num_heads=4, num_groups=128, group_size=8, head_fcs=(16,),
+        ),
         "PointNet2Encoder": lambda: pb.PointNet2Config(
             num_classes=num_classes,
             stages=(
@@ -1760,7 +1832,8 @@ def build_point_baseline(cfg, key, smoke=False):
     launcher surface: one YAML per vendored baseline)."""
     # imports for registry side-effects
     from metatransformer_tpu.models import (  # noqa: F401
-        curvenet, point_baselines, point_baselines2, simpleview,
+        curvenet, point_baselines, point_baselines2, point_baselines3,
+        simpleview,
     )
     from metatransformer_tpu.utils.registry import MODELS
 

@@ -102,8 +102,12 @@ def apply(
     features: Optional[jax.Array] = None,  # [B, N, C]; default = xyz
     rng: Optional[jax.Array] = None,  # for subsample='random'
     mm: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    return_grouped: bool = False,
 ):
-    """-> (center_p [B, M, 3], tokens [B, M, embed_dim])."""
+    """-> (center_p [B, M, 3], tokens [B, M, embed_dim]); with
+    ``return_grouped`` also the relative grouped coords dp [B, M, K, 3]
+    (the reconstruction target of MaskedPointViT — group_embed.py returns
+    grouped_xyz alongside the tokens for exactly this use)."""
     b, n, _ = points.shape
     m = int(n * cfg.sample_ratio)
     x = points if features is None else features
@@ -144,4 +148,6 @@ def apply(
     for i in range(half, cfg.layers):
         h = _conv_stage(h, params, cfg, i, with_norm_act=(i != cfg.layers - 1), mm=mm)
     tokens = _pool(h, cfg)[:, :, 0, :]  # [B, M, D]
+    if return_grouped:
+        return center_p, tokens, dp
     return center_p, tokens

@@ -66,6 +66,34 @@ def test_attacks_reduce_accuracy():
     norms = jnp.sqrt(jnp.sum((adv_l2 - x) ** 2, axis=1))
     assert float(norms.max()) <= 2.0 + 1e-4
 
+    adv_bl2 = adv.bim_l2(loss_fn, x, y, epsilon=2.0, step=0.5, iters=10,
+                         clip=clip)
+    assert _acc(params, adv_bl2, y) < 0.5
+    norms = jnp.sqrt(jnp.sum((adv_bl2 - x) ** 2, axis=1))
+    assert float(norms.max()) <= 2.0 + 1e-4
+
+
+def test_cw_l2_minimal_misclassification():
+    """CW finds adversarials (acc collapses) with *small* L2 perturbations
+    — the minimal-distortion property that distinguishes it from the
+    epsilon-ball attacks (attack.py:62-76 uses foolbox
+    L2CarliniWagnerAttack(6, 1000, 0.01, 0))."""
+    params, x, y = _toy_model()
+
+    def logits_fn(xx):
+        return xx @ params["w"] + params["b"]
+
+    adv_cw = adv.cw_l2(
+        logits_fn, x, y, binary_search_steps=4, steps=150, stepsize=0.05,
+        clip=(-5.0, 5.0),
+    )
+    assert _acc(params, adv_cw, y) < 0.1
+    # perturbations stay finite, in-bounds, and meaningfully small
+    assert bool(jnp.all(jnp.isfinite(adv_cw)))
+    assert float(adv_cw.min()) >= -5.0 and float(adv_cw.max()) <= 5.0
+    norms = jnp.sqrt(jnp.sum((adv_cw - x) ** 2, axis=1))
+    assert float(jnp.median(norms)) < 2.0
+
 
 def test_majority_voting():
     l1 = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
