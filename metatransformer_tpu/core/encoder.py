@@ -74,6 +74,9 @@ class EncoderConfig:
     # 0 features -> 2 * head_dim. Redraw = bump the seed (one recompile).
     performer_features: int = 0
     performer_seed: int = 0
+    # attn_impl="ring" only: the mesh axis the token dim is sharded over
+    # (use inside jax.shard_map; see parallel/ring_attention.py).
+    ring_axis: str = "seq"
 
     @property
     def head_dim(self) -> int:
@@ -131,14 +134,23 @@ def attention(
     impl = cfg.attn_impl
     if impl == "auto":
         impl = "flash" if _flash_supported(t, hd) else "xla"
-    if impl == "flash":
-        from metatransformer_tpu.ops import flash_attention as _fa
-
-        # flash wants [B, T, H, d]
+    if impl in ("flash", "ring"):
+        # both want [B, T, H, d]
         q = jnp.einsum("btd,dhk->bthk", xc, w[:, 0], precision=mm) + b3[0]
         k = jnp.einsum("btd,dhk->bthk", xc, w[:, 1], precision=mm) + b3[1]
         v = jnp.einsum("btd,dhk->bthk", xc, w[:, 2], precision=mm) + b3[2]
-        out = _fa.flash_attention(q, k, v, mask=mask, scale=scale)
+        if impl == "ring":
+            # sequence-parallel exact attention: T is a shard_map-local
+            # shard; K/V rotate around cfg.ring_axis (SURVEY §5.7).
+            from metatransformer_tpu.parallel import ring_attention as _ra
+
+            out = _ra.ring_attention(
+                q, k, v, axis_name=cfg.ring_axis, mask=mask, scale=scale
+            )
+        else:
+            from metatransformer_tpu.ops import flash_attention as _fa
+
+            out = _fa.flash_attention(q, k, v, mask=mask, scale=scale)
         out = out.reshape(b, t, d)
         out = (
             jnp.dot(out, p["proj_w"].astype(cd), precision=mm)

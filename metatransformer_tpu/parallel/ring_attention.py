@@ -115,3 +115,37 @@ def make_seq_sharded_attention(
         return _sharded(q, k, v, mask)
 
     return apply
+
+
+def make_seq_parallel_encode(
+    mesh: jax.sharding.Mesh,
+    cfg,
+    axis: str = "seq",
+    batch_axis: Optional[str] = None,
+    **encode_kwargs,
+):
+    """Full shared-encoder forward with the token axis sharded over
+    ``axis``: every LN/MLP is token-local so it runs shard-resident; the
+    attention runs as ring attention (``attn_impl='ring'``). Params are
+    replicated. Returns a fn (params, x [B, T, D]) -> [B, T, D] with T
+    sharded over ``axis`` (T must be divisible by the axis size)."""
+    import dataclasses as _dc
+
+    from jax.sharding import PartitionSpec as P
+
+    from metatransformer_tpu.core import encoder as enc
+
+    rcfg = _dc.replace(cfg, attn_impl="ring", ring_axis=axis)
+    x_spec = P(batch_axis, axis, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), x_spec),
+        out_specs=x_spec,
+        check_vma=False,
+    )
+    def _enc(params, x):
+        return enc.encode(params, x, rcfg, **encode_kwargs)
+
+    return _enc
