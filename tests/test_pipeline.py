@@ -1,81 +1,73 @@
-"""Multimodal serving pipeline: Data2Seq facade, fuse-then-encode,
-bucketed serving — the README.md:113-150 path."""
+"""GPipe pipeline parallelism over the encoder block stack: parity vs the
+dense encoder, multi-layer stages, DP x PP mesh, and gradient flow."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+from jax.sharding import Mesh
 
-from metatransformer_tpu import pipeline
-from metatransformer_tpu.core import encoder
-from metatransformer_tpu.tokenizers import image as image_tok
-from metatransformer_tpu.tokenizers import time_series as ts_tok
-from metatransformer_tpu.tokenizers import video as video_tok
+from metatransformer_tpu.core import encoder as enc
+from metatransformer_tpu.parallel import pipeline as pp
 
 
-def test_data2seq_dispatcher_covers_all_modalities():
-    assert set(pipeline.MODALITIES) == {
-        "image", "infrared", "x-ray", "video", "audio", "time-series", "imu",
-        "tabular", "hyper", "graph", "text", "point",
-    }
-    with pytest.raises(ValueError):
-        pipeline.Data2Seq("hologram")
+def _x(b=4, t=16, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
 
 
-def test_readme_demo_path():
-    """video + audio + time-series tokenized, concatenated, encoded."""
-    dim = 32
-    key = jax.random.PRNGKey(0)
-    rng = np.random.default_rng(0)
-
-    video = pipeline.Data2Seq(
-        "video", dim,
-        config=video_tok.VideoTokenizerConfig(
-            num_frames=4, img_size=16, patch_size=8, tubelet_size=2, dim=dim
-        ),
-    )
-    ts = pipeline.Data2Seq(
-        "time-series", dim, config=ts_tok.TimeSeriesConfig(c_in=2, dim=dim)
-    )
-    image = pipeline.Data2Seq(
-        "image", dim,
-        config=image_tok.ImageTokenizerConfig(img_size=16, patch_size=8, dim=dim),
-    )
-    kv, kt, ki, ke = jax.random.split(key, 4)
-    vtoks = video(video.init(kv), jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3), np.float32)))
-    ttoks = ts(ts.init(kt), jnp.asarray(rng.standard_normal((2, 10, 2), np.float32)))
-    itoks = image(image.init(ki), jnp.asarray(rng.standard_normal((2, 16, 16, 3), np.float32)))
-    assert vtoks.shape == (2, 8, dim)
-    assert ttoks.shape == (2, 10, dim)
-    assert itoks.shape == (2, 4, dim)
-
-    ecfg = encoder.EncoderConfig(dim=dim, depth=2, num_heads=4)
-    eparams = encoder.init(ecfg, ke)
-    fused = pipeline.fuse_and_encode(eparams, [vtoks, ttoks, itoks], ecfg)
-    assert fused.shape == (2, 22, dim)
-    assert np.isfinite(np.asarray(fused)).all()
-
-
-def test_bucketing():
-    assert pipeline.bucket_length(50) == 64
-    assert pipeline.bucket_length(197) == 256
-    assert pipeline.bucket_length(1568) == 1600
-    with pytest.raises(ValueError):
-        pipeline.bucket_length(5000)
-
-
-def test_bucketed_encode_matches_unpadded():
-    """Padding to a bucket must not change valid outputs (mask-correct)."""
-    dim = 32
-    ecfg = encoder.EncoderConfig(dim=dim, depth=2, num_heads=4)
-    eparams = encoder.init(ecfg, jax.random.PRNGKey(0))
-    tokens = jnp.asarray(
-        np.random.default_rng(1).standard_normal((2, 50, dim), np.float32)
-    )
-    padded, mask = pipeline.pad_to_bucket(tokens)
-    assert padded.shape == (2, 64, dim)
-    out_b = pipeline.encode_bucketed(eparams, padded, mask, ecfg, encoder.FP32)
-    out_u = encoder.encode(eparams, tokens, ecfg)
+def test_pipeline_matches_dense_one_layer_per_stage():
+    cfg = enc.EncoderConfig(dim=32, depth=4, num_heads=4, attn_impl="xla")
+    params = enc.init(cfg, jax.random.PRNGKey(0))
+    x = _x()
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+    apply = pp.make_pipeline_encode(mesh, cfg, n_microbatches=2)
     np.testing.assert_allclose(
-        np.asarray(out_b)[:, :50], np.asarray(out_u), rtol=1e-4, atol=1e-5
+        np.asarray(apply(params, x)),
+        np.asarray(enc.encode(params, x, cfg)),
+        atol=1e-5, rtol=1e-5,
     )
+
+
+def test_pipeline_matches_dense_two_layers_per_stage():
+    cfg = enc.EncoderConfig(dim=32, depth=8, num_heads=4, attn_impl="xla")
+    params = enc.init(cfg, jax.random.PRNGKey(1))
+    x = _x(b=8, seed=2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+    apply = pp.make_pipeline_encode(mesh, cfg, n_microbatches=4)
+    np.testing.assert_allclose(
+        np.asarray(apply(params, x)),
+        np.asarray(enc.encode(params, x, cfg)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_pipeline_dp_combo():
+    """2-way data x 4-stage pipe mesh."""
+    cfg = enc.EncoderConfig(dim=32, depth=4, num_heads=2, attn_impl="xla")
+    params = enc.init(cfg, jax.random.PRNGKey(2))
+    x = _x(b=8, seed=3)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "pipe"))
+    apply = pp.make_pipeline_encode(
+        mesh, cfg, n_microbatches=2, batch_axis="data"
+    )
+    np.testing.assert_allclose(
+        np.asarray(apply(params, x)),
+        np.asarray(enc.encode(params, x, cfg)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_pipeline_gradients():
+    cfg = enc.EncoderConfig(dim=32, depth=4, num_heads=2, attn_impl="xla")
+    params = enc.init(cfg, jax.random.PRNGKey(3))
+    x = _x(seed=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+    apply = pp.make_pipeline_encode(mesh, cfg, n_microbatches=2)
+
+    g_pp = jax.grad(lambda p: jnp.sum(apply(p, x) ** 2))(params)
+    g_ref = jax.grad(lambda p: jnp.sum(enc.encode(p, x, cfg) ** 2))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_pp[k]), np.asarray(g_ref[k]), atol=1e-3, rtol=1e-3
+        )
