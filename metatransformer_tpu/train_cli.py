@@ -117,6 +117,14 @@ def main(argv=None) -> int:
         help="tiny-geometry structurally-identical model + synthetic data "
              "(every recipe is executable on CPU in seconds)",
     )
+    p.add_argument(
+        "--eval", action="store_true",
+        help="evaluation-only: restore the latest checkpoint from "
+             "--work-dir (if given) and report metrics without training — "
+             "the reference's per-subproject test.py surface "
+             "(AutonomousDriving/tools/test.py, Image/segmentation/test.py, "
+             "X-Ray/test.py, Time-Series Exp_*.test)",
+    )
     p.add_argument("overrides", nargs="*", help="key=value config overrides")
     args = p.parse_args(argv)
 
@@ -181,6 +189,21 @@ def main(argv=None) -> int:
         ),
         **trainer_kwargs,
     )
+    if args.eval:
+        from metatransformer_tpu.utils import checkpoint as ckpt_lib
+
+        if args.work_dir:
+            resumed = ckpt_lib.auto_resume(args.work_dir)
+            if resumed:
+                trainer.trainable = resumed[0]["trainable"]
+        stats = _evaluate(
+            recipe, trainer,
+            synth(batch_size, args.steps_per_epoch, cfg.seed + 1),
+        )
+        print("eval:", {k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in stats.items()})
+        return 0
+
     log = trainer.fit(
         lambda: synth(batch_size, args.steps_per_epoch, cfg.seed),
         # the generic val loop assumes class logits; structured tasks
@@ -194,6 +217,23 @@ def main(argv=None) -> int:
     print("final:", {k: round(v, 4) if isinstance(v, float) else v
                      for k, v in log.items()})
     return 0
+
+
+def _evaluate(recipe, trainer, batches) -> Dict[str, float]:
+    """Checkpoint -> task metric, no training. Classification recipes get
+    accuracy (+ any recipe val_metric via Trainer.validate); structured
+    recipes (loss computed in forward) report mean loss."""
+    from metatransformer_tpu.train import step as step_lib
+
+    if recipe.classification:
+        return trainer.validate(batches)
+    loss_fn = recipe.loss_fn or step_lib.cross_entropy_loss
+    params = trainer.params
+    losses = []
+    for batch in batches:
+        out = recipe.forward(params, batch["input"], jax.random.PRNGKey(0))
+        losses.append(float(loss_fn(out, batch["label"])))
+    return {"loss": float(np.mean(losses)), "batches": float(len(losses))}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,43 @@
+"""--eval mode of the unified CLI: train with a work dir, then restore the
+checkpoint and report metrics without training (the reference's test.py
+eval-entry surface, SURVEY §4.2)."""
+
+import os
+
+from metatransformer_tpu import train_cli
+import metatransformer_tpu.configs as cfgs
+
+CFG_DIR = os.path.dirname(cfgs.__file__)
+
+
+def _cfg(name):
+    return os.path.join(CFG_DIR, name)
+
+
+def test_eval_after_train_classification(tmp_path, capsys):
+    wd = str(tmp_path / "run")
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--epochs", "1", "--steps-per-epoch", "2", "--work-dir", wd,
+        "train.batch_size=2",
+    ])
+    assert rc == 0
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--eval", "--steps-per-epoch", "2", "--work-dir", wd,
+        "train.batch_size=2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eval:" in out and "acc" in out
+
+
+def test_eval_structured_recipe(capsys):
+    """Structured (loss-in-forward) recipe: mean loss reported."""
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_pointmae_pretrain.yaml"), "--smoke",
+        "--eval", "--steps-per-epoch", "2", "train.batch_size=2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eval:" in out and "loss" in out
