@@ -87,6 +87,10 @@ class PVRCNNConfig:
     proposal_nms_thresh: float = 0.8
     proposal_pre: int = 1024
     gt_extra_width: float = 0.2  # point-head target enlargement
+    # PVRCNNHeadMoE (pcdet/models/roi_heads/pvrcnn_head_MoE.py:33-43,
+    # 170-178): one gated-residual expert per source dataset on the shared
+    # RoI features, selected by the batch's source tag. 0 = off.
+    moe_sources: int = 0
 
     def source_channels(self, src: str) -> int:
         w = self.stage1.widths
@@ -134,6 +138,17 @@ def init(cfg: PVRCNNConfig, key: jax.Array) -> Dict[str, Any]:
     for i, c in enumerate(cfg.shared_fc):
         params[f"shared{i}"] = vr._lin_init(next(keys), cin, c)
         cin = c
+    if cfg.moe_sources:
+        # stacked per-source gates, gathered by a traced source_id (the
+        # same stacked-affine idiom as mdf_detectors.select_dataset)
+        c_sh = cfg.shared_fc[-1]
+        params["moe_gate"] = {
+            "w": jax.random.normal(
+                next(keys), (cfg.moe_sources, c_sh, c_sh)
+            ) * np.sqrt(2.0 / c_sh),
+            "bn_scale": jnp.ones((cfg.moe_sources, c_sh)),
+            "bn_bias": jnp.zeros((cfg.moe_sources, c_sh)),
+        }
     c0 = cin
     c = c0
     for i, cc in enumerate(cfg.cls_fc):
@@ -342,10 +357,21 @@ def roi_grid_pool_keypoints(
     return pooled.reshape(b, r, -1)
 
 
-def refine(params, pooled, cfg: PVRCNNConfig):
+def refine(params, pooled, cfg: PVRCNNConfig, source_id=None):
     b, r, _ = pooled.shape
     x = pooled.reshape(b * r, -1)
     x = vr._mlp(x, params, [f"shared{i}" for i in range(len(cfg.shared_fc))])
+    if cfg.moe_sources and source_id is not None:
+        # MoE gate (pvrcnn_head_MoE.py:170-178): the source's expert
+        # produces relu(bn(conv1x1(x))) gate weights; x += gate * x
+        g = params["moe_gate"]
+        w = g["w"][source_id]  # traced gather, one executable for all tags
+        h = x @ w
+        mean = jnp.mean(h, axis=0, keepdims=True)
+        var = jnp.var(h, axis=0, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-3)
+        h = h * g["bn_scale"][source_id] + g["bn_bias"][source_id]
+        x = x + jax.nn.relu(h) * x
     hc = vr._mlp(x, params, [f"cls{i}" for i in range(len(cfg.cls_fc))])
     cls = (hc @ params["cls_pred"]["w"] + params["cls_pred"]["b"])[:, 0]
     hr = vr._mlp(x, params, [f"reg{i}" for i in range(len(cfg.reg_fc))])
@@ -400,6 +426,7 @@ def training_loss(
     anchors: jax.Array,
     cfg: PVRCNNConfig,
     points_mask: jax.Array = None,
+    source_id=None,  # traced source tag for the MoE RoI head (MDF)
 ):
     """loss_rpn + loss_point + loss_rcnn (pv_rcnn.get_training_loss)."""
     preds, keypoints, weighted, pt_logits = forward(
@@ -428,7 +455,7 @@ def training_loss(
     pooled = roi_grid_pool_keypoints(
         params, targets["rois"], keypoints, weighted, cfg
     )
-    rcnn_cls, rcnn_reg = refine(params, pooled, cfg)
+    rcnn_cls, rcnn_reg = refine(params, pooled, cfg, source_id=source_id)
 
     pcl = jnp.clip(jax.nn.sigmoid(rcnn_cls), 1e-7, 1 - 1e-7)
     t = targets["cls_labels"]
@@ -469,13 +496,14 @@ def predict(
     iou_thr: float = 0.1,
     max_out: int = 128,
     points_mask: jax.Array = None,
+    source_id=None,
 ) -> List[Dict[str, np.ndarray]]:
     """Two-stage inference over keypoint features."""
     preds, keypoints, weighted, _ = forward(params, points, cfg, points_mask)
     vcfg = _as_vr(cfg)
     rois, roi_scores, roi_valid = vr.propose(preds, anchors, vcfg)
     pooled = roi_grid_pool_keypoints(params, rois, keypoints, weighted, cfg)
-    rcnn_cls, rcnn_reg = refine(params, pooled, cfg)
+    rcnn_cls, rcnn_reg = refine(params, pooled, cfg, source_id=source_id)
     boxes = vr.decode_refined(rois, rcnn_reg)
     out = []
     for i in range(boxes.shape[0]):
