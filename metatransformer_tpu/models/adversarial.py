@@ -217,6 +217,24 @@ def detection_score(
     return jnp.mean(jnp.stack(kls, axis=0), axis=0)
 
 
+def frobenius_detection_score(logit_list: Sequence[jax.Array]) -> jax.Array:
+    """SEViT's second detection score (X-Ray/utils.py:97-107
+    ``frob_norm_kl_matrix``): per sample, the Frobenius norm of the
+    (M+1)x(M+1) matrix of pairwise KL divergences between the final head
+    and every intermediate-block classifier — clean inputs agree
+    everywhere (near-zero matrix), attacks desynchronize it."""
+    logps = jnp.stack(
+        [jax.nn.log_softmax(l, -1) for l in logit_list], axis=1
+    )  # [B, M, C]
+    p = jnp.exp(logps)
+    # div[b, i, j] = KL(p_j || p_i)  (kl_div(input=log p_i, target=log p_j))
+    div = jnp.sum(
+        p[:, None, :, :] * (logps[:, None, :, :] - logps[:, :, None, :]),
+        axis=-1,
+    )
+    return jnp.sqrt(jnp.sum(div**2, axis=(1, 2)))
+
+
 def roc_curve(scores: np.ndarray, is_adv: np.ndarray, n_thresholds: int = 100):
     """(fpr, tpr, auc) for the detection score (utils.py ROC report)."""
     thr = np.quantile(scores, np.linspace(0, 1, n_thresholds))

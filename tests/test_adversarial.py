@@ -95,6 +95,34 @@ def test_cw_l2_minimal_misclassification():
     assert float(jnp.median(norms)) < 2.0
 
 
+def test_frobenius_detection_score():
+    """Matches a double-loop numpy oracle of frob_norm_kl_matrix; agreeing
+    classifiers score ~0, a desynchronized one scores high."""
+    rng = np.random.default_rng(0)
+    logits = [jnp.asarray(rng.standard_normal((4, 5)), jnp.float32)
+              for _ in range(3)]
+    score = np.asarray(adv.frobenius_detection_score(logits))
+
+    # numpy oracle
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    probs = np.stack([softmax(np.asarray(l)) for l in logits], 1)  # [B,M,C]
+    for b in range(4):
+        m = np.zeros((3, 3))
+        for i in range(3):
+            for j in range(3):
+                pi, pj = probs[b, i], probs[b, j]
+                m[i, j] = np.sum(pj * (np.log(pj) - np.log(pi)))
+        assert abs(score[b] - np.sqrt((m**2).sum())) < 1e-4
+
+    same = [logits[0], logits[0], logits[0]]
+    assert float(np.asarray(adv.frobenius_detection_score(same)).max()) < 1e-5
+    far = [logits[0], logits[0].at[:, 0].add(8.0), logits[0]]
+    assert float(np.asarray(adv.frobenius_detection_score(far)).min()) > 1.0
+
+
 def test_majority_voting():
     l1 = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
     l2 = jnp.asarray([[0.8, 0.2], [0.9, 0.1]])
