@@ -82,6 +82,28 @@ class ConfusionMatrix:
         return (po - pe) / max(1 - pe, 1e-12)
 
 
+class CumulativeEnsemble:
+    """Running-mean prediction ensemble across epochs — AST's checkpoint
+    ensemble (``Audio/src/traintest.py:322-338`` ``validate_ensemble``:
+    cum_predictions = mean of every epoch's validation predictions so
+    far; its stats are the 'cum_stats' reported next to per-epoch ones).
+    """
+
+    def __init__(self):
+        self.cum: np.ndarray | None = None
+        self.n = 0
+
+    def update(self, predictions: np.ndarray) -> np.ndarray:
+        """Fold in one epoch's predictions; returns the current mean."""
+        predictions = np.asarray(predictions, np.float64)
+        if self.cum is None:
+            self.cum = predictions.copy()
+        else:
+            self.cum = (self.cum * self.n + predictions) / (self.n + 1)
+        self.n += 1
+        return self.cum
+
+
 def average_precision(scores: np.ndarray, targets: np.ndarray) -> float:
     """AP for one class (AST ``calculate_stats`` building block)."""
     order = np.argsort(-scores)

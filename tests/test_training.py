@@ -337,3 +337,17 @@ def test_large_scale_jitter():
     a = np.asarray(out[0])
     if s < 0.9:
         assert np.abs(a[int(32 * s) + 2 :]).max() < 1e-4
+
+
+def test_cumulative_ensemble():
+    """AST validate_ensemble semantics: running mean over epochs equals
+    the mean of the stacked per-epoch predictions."""
+    from metatransformer_tpu.utils.metrics import CumulativeEnsemble
+
+    rng = np.random.default_rng(0)
+    epochs = [rng.standard_normal((6, 3)) for _ in range(4)]
+    ens = CumulativeEnsemble()
+    for e in epochs:
+        cum = ens.update(e)
+    np.testing.assert_allclose(cum, np.mean(np.stack(epochs), axis=0),
+                               atol=1e-12)
