@@ -125,6 +125,11 @@ def main(argv=None) -> int:
              "(AutonomousDriving/tools/test.py, Image/segmentation/test.py, "
              "X-Ray/test.py, Time-Series Exp_*.test)",
     )
+    p.add_argument(
+        "--eval-all", action="store_true",
+        help="evaluate EVERY ckpt_epoch_*.npz in --work-dir and report "
+             "the best (pcdet tools/test.py repeat_eval_ckpt)",
+    )
     p.add_argument("overrides", nargs="*", help="key=value config overrides")
     args = p.parse_args(argv)
 
@@ -189,6 +194,42 @@ def main(argv=None) -> int:
         ),
         **trainer_kwargs,
     )
+    if args.eval_all:
+        import glob as _glob
+        import os as _os
+
+        from metatransformer_tpu.utils import checkpoint as ckpt_lib
+
+        if not args.work_dir:
+            raise SystemExit("--eval-all needs --work-dir")
+        ckpts = sorted(
+            _glob.glob(_os.path.join(args.work_dir, "ckpt_epoch_*.npz"))
+        )
+        if not ckpts:
+            raise SystemExit(f"no ckpt_epoch_*.npz under {args.work_dir}")
+        key = "acc" if recipe.classification else "loss"
+        best = None
+        for path in ckpts:
+            state = ckpt_lib.load(path)
+            trainer.trainable = state["trainable"]
+            stats = _evaluate(
+                recipe, trainer,
+                synth(batch_size, args.steps_per_epoch, cfg.seed + 1),
+            )
+            epoch = int(state.get("epoch", -1))
+            print(f"eval epoch {epoch}:",
+                  {k: round(v, 4) for k, v in stats.items()})
+            better = best is None or (
+                stats[key] > best[1][key]
+                if recipe.best_mode == "max"
+                else stats[key] < best[1][key]
+            )
+            if better:
+                best = (epoch, stats)
+        print("best:", {"epoch": best[0],
+                        **{k: round(v, 4) for k, v in best[1].items()}})
+        return 0
+
     if args.eval:
         from metatransformer_tpu.utils import checkpoint as ckpt_lib
 

@@ -32,6 +32,26 @@ def test_eval_after_train_classification(tmp_path, capsys):
     assert "eval:" in out and "acc" in out
 
 
+def test_eval_all_checkpoints(tmp_path, capsys):
+    """--eval-all sweeps every epoch checkpoint and reports the best
+    (pcdet repeat_eval_ckpt surface)."""
+    wd = str(tmp_path / "run")
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--epochs", "2", "--steps-per-epoch", "2", "--work-dir", wd,
+        "train.batch_size=2",
+    ])
+    assert rc == 0
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--eval-all", "--steps-per-epoch", "2", "--work-dir", wd,
+        "train.batch_size=2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("eval epoch") == 2 and "best:" in out
+
+
 def test_eval_structured_recipe(capsys):
     """Structured (loss-in-forward) recipe: mean loss reported."""
     rc = train_cli.main([
