@@ -126,6 +126,11 @@ def main(argv=None) -> int:
              "X-Ray/test.py, Time-Series Exp_*.test)",
     )
     p.add_argument(
+        "--profile", action="store_true",
+        help="print params / FLOPs / throughput for the recipe's model and "
+             "exit (PointCloud/examples/profile.py surface)",
+    )
+    p.add_argument(
         "--eval-all", action="store_true",
         help="evaluate EVERY ckpt_epoch_*.npz in --work-dir and report "
              "the best (pcdet tools/test.py repeat_eval_ckpt)",
@@ -144,6 +149,17 @@ def main(argv=None) -> int:
 
     epochs = args.epochs or cfg.train.get("epochs", 1)
     batch_size = cfg.train.batch_size
+
+    if args.profile:
+        from metatransformer_tpu.utils import profiler
+
+        batch = next(iter(synth(batch_size, 1, cfg.seed)))
+        stats = profiler.profile_model(
+            lambda p, x: forward(p, x, jax.random.PRNGKey(0)),
+            params, batch["input"], batch_size,
+        )
+        print("profile:", {k: round(v, 4) for k, v in stats.items()})
+        return 0
     total_steps = epochs * args.steps_per_epoch
     sched_name = cfg.train.get("schedule", "cosine")
     if sched_name == "cosine":

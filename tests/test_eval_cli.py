@@ -61,3 +61,15 @@ def test_eval_structured_recipe(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "eval:" in out and "loss" in out
+
+
+def test_profile_mode(capsys):
+    """--profile prints params/FLOPs/throughput and exits (the
+    examples/profile.py launcher surface)."""
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--profile", "train.batch_size=2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "profile:" in out and "params_m" in out and "seq_per_s" in out
