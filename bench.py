@@ -104,4 +104,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    import traceback
+
+    try:
+        main()
+    except Exception:  # axon tunnel compiles can abort transiently; retry once
+        traceback.print_exc(file=sys.stderr)
+        print("bench: transient failure, retrying once", file=sys.stderr)
+        main()
