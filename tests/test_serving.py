@@ -166,12 +166,12 @@ def test_daemon_propagates_errors():
     daemon.stop()
 
 
-def test_dispatcher_serves_eight_modalities():
-    """The BASELINE 'one chip serves all modalities' config: eight
-    Data2Seq facades with their native raw formats behind ONE dispatcher
-    and one shared encoder; every request comes back pooled, finite, in
-    order, and the bucket grouping collapses them into a handful of
-    programs."""
+def test_dispatcher_serves_eleven_modalities():
+    """The BASELINE 'one chip serves all modalities' config: eleven of the
+    twelve Data2Seq facades with their native raw formats behind ONE
+    dispatcher and one shared encoder; every request comes back pooled,
+    finite, in order, and the bucket grouping collapses them into a
+    handful of programs."""
     import dataclasses
 
     d = 32
@@ -186,18 +186,26 @@ def test_dispatcher_serves_eight_modalities():
         hyper as hyper_tok,
         tabular as tab_tok,
         time_series as ts_tok,
+        video as video_tok,
     )
 
     img = pipeline.Data2Seq("image", dim=d)
     img = pipeline.Data2Seq(
         "image", dim=d, config=dataclasses.replace(img.config, img_size=32, dim=d)
     )
+    ts_cfg = ts_tok.TimeSeriesConfig(c_in=7, dim=d)
     facades = {
         "image": img,
         "x-ray": img,  # same tokenizer family, separate params
-        "time-series": pipeline.Data2Seq(
-            "time-series", dim=d, config=ts_tok.TimeSeriesConfig(c_in=7, dim=d)
+        "infrared": img,  # image family too (pipeline.MODALITIES)
+        "video": pipeline.Data2Seq(
+            "video", dim=d,
+            config=video_tok.VideoTokenizerConfig(
+                num_frames=4, img_size=32, dim=d
+            ),
         ),
+        "time-series": pipeline.Data2Seq("time-series", dim=d, config=ts_cfg),
+        "imu": pipeline.Data2Seq("imu", dim=d, config=ts_cfg),
         "tabular": pipeline.Data2Seq(
             "tabular", dim=d,
             config=tab_tok.TabularTokenizerConfig(vocab_sizes=(8,) * 5, dim=d),
@@ -232,7 +240,10 @@ def test_dispatcher_serves_eight_modalities():
     raws = {
         "image": rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
         "x-ray": rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
+        "infrared": rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
+        "video": rng.uniform(0, 1, (1, 4, 32, 32, 3)).astype(np.float32),
         "time-series": rng.standard_normal((1, 48, 7)).astype(np.float32),
+        "imu": rng.standard_normal((1, 48, 7)).astype(np.float32),
         "tabular": rng.integers(0, 8, (1, 5)).astype(np.int32),
         "hyper": rng.standard_normal((1, 12, 4)).astype(np.float32),
         "point": rng.standard_normal((1, 128, 3)).astype(np.float32) * 0.5,
