@@ -38,6 +38,24 @@ NEG_INF = -1e30
 # for VMEM and flash attention wins anyway (ops/flash_attention.py).
 MAX_SEQ = 512
 
+# Scoped-vmem model, calibrated on v5e: the [n_per, H, T, T] f32 attention
+# logits dominate the kernel's stack. Measured: 16.96M scoped at
+# n_per=4, T=256, H=12 (overflows the 16M limit); ~13M at T=197 (fits).
+# Keep n_per*H*T^2 under ~2.5M elements (~10MB f32) so the qkv/out tiles
+# and Mosaic double-buffering have headroom.
+_VMEM_LOGIT_ELEMS = 2_500_000
+
+
+def _pick_n_per(batch: int, seq_len: int, num_heads: int) -> int:
+    """Samples per program: fatter row-parallel matmuls win (4 measured
+    best at T=197, B=128: 13.9 -> 13.5 ms/12-layer pass), but the tile
+    must fit scoped vmem. Returns 0 when even one sample per program
+    overflows (caller falls back to flash attention)."""
+    for n in (4, 2, 1):
+        if batch % n == 0 and n * num_heads * seq_len * seq_len <= _VMEM_LOGIT_ELEMS:
+            return n
+    return 0
+
 
 def supported(seq_len: int, dim: int, num_heads: int) -> bool:
     """Shapes where the fused sublayer kernel applies and wins."""
@@ -47,6 +65,7 @@ def supported(seq_len: int, dim: int, num_heads: int) -> bool:
         and dim % num_heads == 0
         and head_dim in (32, 64, 128)
         and dim % 128 == 0
+        and _pick_n_per(1, seq_len, num_heads) > 0
     )
 
 
@@ -169,9 +188,8 @@ def _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
     # ms/12-layer pass at T=197 (padding to 256 wastes +30% matmul rows and
     # +70% softmax area; Mosaic's internal sublane/lane padding is cheaper).
     tp = t
-    # samples per program: fatter row-parallel matmuls (see _kernel);
-    # 4 measured best at T=197, B=128 (13.9 -> 13.5 ms/12-layer pass)
-    n_per = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    n_per = _pick_n_per(b, t, num_heads)
+    assert n_per > 0, (b, t, num_heads)  # encoder gates via supported()
 
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
