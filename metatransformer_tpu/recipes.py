@@ -48,6 +48,9 @@ class Recipe:
     classification: bool = True  # drives val loop + accuracy metric
     jit_step: bool = True  # False: loss has host-side stages (Hungarian)
     best_mode: str = "max"
+    # task-specific --eval protocol: (params, forward, batches) -> metrics
+    # dict (e.g. ShapeNetPart ins/cls-mIoU); None -> accuracy/mean-loss.
+    eval_metric: Optional[Callable] = None
 
 
 def _identity_loss(out, _label):
@@ -84,11 +87,15 @@ def build_image(cfg, key, smoke=False):
     from metatransformer_tpu.models import image_classifier
     from metatransformer_tpu.tokenizers import image as image_tok
 
+    if cfg.model.get("moe"):
+        return _build_image_moe(cfg, key, smoke)
     ecfg = _encoder_cfg(cfg, smoke)
-    img = 32 if smoke else cfg.model.get("tokenizer", {}).get("img_size", 224)
+    tok = cfg.model.get("tokenizer", {})
+    patch = tok.get("patch_size", 16)  # 14 on the L14 track
+    img = 2 * patch if smoke else tok.get("img_size", 224)
     mcfg = image_classifier.ImageClassifierConfig(
         tokenizer=image_tok.ImageTokenizerConfig(
-            img_size=img, patch_size=16, dim=ecfg.dim
+            img_size=img, patch_size=patch, dim=ecfg.dim
         ),
         encoder=ecfg,
         num_classes=cfg.model.num_classes,
@@ -687,7 +694,11 @@ def build_point_seg(cfg, key, smoke=False):
             logits, labels
         ).mean()
 
+    shapenetpart = m.get("dataset") == "shapenetpart"
+
     def synth(batch_size, n_batches, seed):
+        from metatransformer_tpu.utils import seg_eval
+
         rng = np.random.default_rng(seed)
         for _ in range(n_batches):
             pts = rng.standard_normal((batch_size, n_points, 3)).astype(
@@ -700,16 +711,56 @@ def build_point_seg(cfg, key, smoke=False):
                         (batch_size, n_points, in_channels)
                     ).astype(np.float32)
                 )
-            yield {
-                "input": batch,
-                "label": jnp.asarray(
+            out = {"input": batch}
+            if shapenetpart:
+                # labels drawn within each shape's category parts, so the
+                # ins-mIoU protocol sees realistic label structure
+                cls = rng.integers(0, 16, batch_size)
+                labels = np.stack([
+                    rng.choice(
+                        seg_eval.SHAPENETPART_CLS2PARTS[c], n_points
+                    )
+                    for c in cls
+                ])
+                out["label"] = jnp.asarray(labels)
+                out["cls"] = jnp.asarray(cls)
+            else:
+                out["label"] = jnp.asarray(
                     rng.integers(0, m.num_classes, (batch_size, n_points))
-                ),
+                )
+            yield out
+
+    eval_metric = None
+    if shapenetpart:
+        # ShapeNetPart --eval protocol: per-shape instance mIoU + per-
+        # category mIoU (PointCloud/examples/shapenetpart/main.py:67-96).
+        def eval_metric(params, fwd, batches):
+            from metatransformer_tpu.utils import seg_eval
+
+            ious, cats = [], []
+            for batch in batches:
+                logits = fwd(
+                    params, batch["input"], jax.random.PRNGKey(0)
+                )
+                preds = np.asarray(jnp.argmax(logits, -1))
+                cls = np.asarray(batch["cls"])
+                ious.append(
+                    seg_eval.instance_mious(
+                        preds, np.asarray(batch["label"]), cls
+                    )
+                )
+                cats.append(cls)
+            agg = seg_eval.aggregate_part_mious(
+                np.concatenate(ious), np.concatenate(cats)
+            )
+            return {
+                "ins_miou": 100.0 * agg["ins_miou"],
+                "cls_miou": 100.0 * agg["cls_miou"],
             }
 
     return Recipe(
         params, forward, synth, loss_fn=seg_ce, classification=False,
-        best_mode="min",
+        best_mode="min", eval_metric=eval_metric,
     )
 
 

@@ -282,6 +282,8 @@ def _evaluate(recipe, trainer, batches) -> Dict[str, float]:
     recipes (loss computed in forward) report mean loss."""
     from metatransformer_tpu.train import step as step_lib
 
+    if recipe.eval_metric is not None:
+        return recipe.eval_metric(trainer.params, recipe.forward, batches)
     if recipe.classification:
         return trainer.validate(batches)
     loss_fn = recipe.loss_fn or step_lib.cross_entropy_loss

@@ -104,6 +104,123 @@ def vote_logits(
     return acc / num_votes
 
 
+# ---------------------------------------------------------------------------
+# ShapeNetPart instance-mIoU protocol
+# (PointCloud/examples/shapenetpart/main.py:67-96 get_ins_mious +
+#  the ins/cls aggregation in its validate loop)
+# ---------------------------------------------------------------------------
+
+# category -> its global part ids (16 categories, 50 parts; the standard
+# ShapeNetPart layout used by openpoints' cls2parts).
+SHAPENETPART_CLS2PARTS: Tuple[Tuple[int, ...], ...] = (
+    (0, 1, 2, 3),          # airplane
+    (4, 5),                # bag
+    (6, 7),                # cap
+    (8, 9, 10, 11),        # car
+    (12, 13, 14, 15),      # chair
+    (16, 17, 18),          # earphone
+    (19, 20, 21),          # guitar
+    (22, 23),              # knife
+    (24, 25, 26, 27),      # lamp
+    (28, 29),              # laptop
+    (30, 31, 32, 33, 34, 35),  # motorbike
+    (36, 37),              # mug
+    (38, 39, 40),          # pistol
+    (41, 42, 43),          # rocket
+    (44, 45, 46),          # skateboard
+    (47, 48, 49),          # table
+)
+
+
+def instance_mious(
+    pred: np.ndarray,  # [B, N] int part labels
+    target: np.ndarray,  # [B, N] int part labels
+    cls: np.ndarray,  # [B] int category per shape
+    cls2parts: Sequence[Sequence[int]] = SHAPENETPART_CLS2PARTS,
+) -> np.ndarray:
+    """Per-shape part-mIoU (get_ins_mious semantics, main.py:67-96): for
+    each shape, IoU over ONLY its category's parts, with the union==0
+    convention IoU=1 (a part absent from both pred and target counts as
+    perfect). Returns fractions in [0, 1] (the reference scales by 100 at
+    the same point; we scale when printing)."""
+    pred = np.asarray(pred)
+    target = np.asarray(target)
+    cls = np.asarray(cls)
+    out = np.zeros(pred.shape[0], np.float64)
+    for i in range(pred.shape[0]):
+        part_ious = []
+        for part in cls2parts[int(cls[i])]:
+            p = pred[i] == part
+            t = target[i] == part
+            u = np.logical_or(p, t).sum()
+            if u == 0:
+                part_ious.append(1.0)
+            else:
+                part_ious.append(np.logical_and(p, t).sum() / float(u))
+        out[i] = float(np.mean(part_ious))
+    return out
+
+
+def aggregate_part_mious(
+    ins_ious: np.ndarray,  # [B] from instance_mious
+    cls: np.ndarray,  # [B]
+    num_categories: int = 16,
+) -> Dict[str, object]:
+    """ins-mIoU = mean over shapes; cls-mIoU = mean over categories of the
+    per-category shape means (main.py validate: cls_mious[cls] /=
+    cls_nums[cls]; categories with no shapes are skipped)."""
+    ins_ious = np.asarray(ins_ious, np.float64)
+    cls = np.asarray(cls)
+    per_cls = []
+    for c in range(num_categories):
+        sel = cls == c
+        if sel.any():
+            per_cls.append(float(ins_ious[sel].mean()))
+        else:
+            per_cls.append(float("nan"))
+    valid = [v for v in per_cls if not np.isnan(v)]
+    return {
+        "ins_miou": float(ins_ious.mean()) if len(ins_ious) else 0.0,
+        "cls_miou": float(np.mean(valid)) if valid else 0.0,
+        "per_cls_miou": per_cls,
+    }
+
+
+def part_seg_refinement(
+    pred: np.ndarray,  # [B, N] int part labels (modified copy returned)
+    coord: np.ndarray,  # [B, N, 3]
+    cls: np.ndarray,  # [B]
+    cls2parts: Sequence[Sequence[int]] = SHAPENETPART_CLS2PARTS,
+    n: int = 10,
+) -> np.ndarray:
+    """kNN majority re-label of tiny (<n points) or out-of-category
+    predicted parts (main.py:47-64 part_seg_refinement): each offending
+    point takes the most common *other* label among its n+1 nearest
+    neighbours."""
+    pred = np.asarray(pred).copy()
+    coord = np.asarray(coord)
+    n_parts = max(max(p) for p in cls2parts) + 1
+    for i in range(pred.shape[0]):
+        parts = set(cls2parts[int(cls[i])])
+        labels, counts = np.unique(pred[i], return_counts=True)
+        if len(labels) <= 1:
+            continue
+        for lab, cnt in zip(labels, counts):
+            if cnt >= n and lab in parts:
+                continue
+            bad = np.where(pred[i] == lab)[0]
+            # n+1 nearest neighbours of each offending point
+            d2 = ((coord[i][bad, None] - coord[i][None]) ** 2).sum(-1)
+            knn = np.argsort(d2, axis=1)[:, : n + 1]
+            neigh = pred[i][knn]  # [bad, n+1]
+            votes = np.apply_along_axis(
+                np.bincount, 1, neigh, minlength=n_parts
+            )
+            votes[:, lab] = 0  # never re-elect the offending label
+            pred[i][bad] = votes.argmax(1)
+    return pred
+
+
 def six_fold_aggregate(
     cms: Sequence[ConfusionMatrix],
 ) -> Dict[str, object]:
