@@ -75,6 +75,20 @@ def load_input(path: str):
     return np.load(path)
 
 
+def tokenize_text(texts, merges_path=None):
+    """Raw strings -> [B, 77] CLIP ids via the clean-room byte-level BPE
+    (tokenizers/bpe.py; Data2Seq/Text.py:9's clip.tokenize step). Without
+    a merges file the byte-level fallback vocab is used."""
+    from metatransformer_tpu.tokenizers import bpe
+
+    tok = (
+        bpe.CLIPBPE.from_file(merges_path)
+        if merges_path
+        else bpe.CLIPBPE()
+    )
+    return tok.tokenize(texts)
+
+
 def _load_encoder(
     ckpt: Optional[str], key: jax.Array
 ) -> Tuple[Dict[str, jax.Array], enc.EncoderConfig]:
@@ -91,7 +105,14 @@ def _load_encoder(
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--modality", required=True, choices=sorted(pipeline.MODALITIES))
-    p.add_argument("--input", default=None, help=".npy/.npz raw input")
+    p.add_argument("--input", default=None,
+                   help=".npy/.npz raw input (.txt for --modality text)")
+    p.add_argument("--text", default=None,
+                   help="raw string input (text modality): tokenized "
+                        "host-side by the clean-room CLIP BPE")
+    p.add_argument("--bpe-merges", default=None,
+                   help="BPE merges file (plain or .gz); omitted -> "
+                        "byte-level fallback vocab")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a correctly-shaped random input")
     p.add_argument("--ckpt", default=None,
@@ -102,11 +123,21 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    if not args.input and not args.synthetic:
-        p.error("one of --input / --synthetic is required")
-    raw = load_input(args.input) if args.input else synthetic_input(
-        args.modality, np.random.default_rng(args.seed)
-    )
+    if not args.input and not args.synthetic and args.text is None:
+        p.error("one of --input / --text / --synthetic is required")
+    if args.text is not None or (args.input or "").endswith(".txt"):
+        if args.modality != "text":
+            p.error("--text / .txt input requires --modality text")
+        if args.text is not None:
+            texts = [args.text]
+        else:
+            with open(args.input) as f:
+                texts = [ln for ln in f.read().splitlines() if ln.strip()]
+        raw = tokenize_text(texts, args.bpe_merges)
+    elif args.input:
+        raw = load_input(args.input)
+    else:
+        raw = synthetic_input(args.modality, np.random.default_rng(args.seed))
 
     key = jax.random.PRNGKey(args.seed)
     k_tok, k_enc = jax.random.split(key)
