@@ -51,6 +51,39 @@ class MoEEncoderConfig:
         return (i + 1) % self.moe_every == 0
 
 
+def make_encode_ep(cfg: MoEEncoderConfig, mesh, axis: str = "expert"):
+    """Expert-parallel ``encode``: identical stack, but every MoE layer's
+    Switch MLP runs through ``parallel.moe.make_expert_parallel_moe``
+    (experts one-per-device on ``axis``, all_to_all dispatch). Input batch
+    must be divisible by the axis size. Parity with the dense ``encode``
+    holds whenever no token is dropped (capacity_factor high enough) —
+    asserted in ``__graft_entry__.dryrun_multichip``."""
+    ep_fn = moe.make_expert_parallel_moe(
+        mesh, cfg.n_experts, axis=axis, capacity_factor=cfg.capacity_factor
+    )
+
+    def encode_ep(params: Dict[str, Any], x: jax.Array):
+        bcfg = cfg.block_cfg
+        aux_total = jnp.float32(0.0)
+        for i, lp in enumerate(params["layers"]):
+            h = enc.layer_norm(
+                x, lp["norm1_scale"], lp["norm1_bias"], cfg.ln_eps
+            )
+            x = x + enc.attention(h, lp, bcfg, None, enc.FP32)
+            h = enc.layer_norm(
+                x, lp["norm2_scale"], lp["norm2_bias"], cfg.ln_eps
+            )
+            if cfg.is_moe(i):
+                out, aux = ep_fn(lp["moe"], h)
+                aux_total = aux_total + aux
+            else:
+                out = enc.mlp(h, lp, enc.FP32)
+            x = x + out
+        return x, cfg.aux_weight * aux_total
+
+    return encode_ep
+
+
 def init(cfg: MoEEncoderConfig, key: jax.Array) -> Dict[str, Any]:
     layers = []
     keys = jax.random.split(key, cfg.depth)

@@ -118,6 +118,90 @@ def build_image(cfg, key, smoke=False):
     return Recipe(params, forward, synth)
 
 
+def _build_image_moe(cfg, key, smoke=False):
+    """ImageNet classification over the Switch-MoE encoder variant
+    (``core/moe_encoder``): ``model.moe: {every: k, n_experts: n}`` turns
+    the MoE capacity path into a product surface. Beyond-reference (the
+    reference has no mixture-of-experts — SURVEY §2.12 EP row); pairs with
+    ``parallel/moe.make_expert_parallel_moe`` for EP sharding (asserted in
+    ``__graft_entry__.dryrun_multichip``).
+
+    Training loss = cross-entropy + the Switch load-balance aux loss, so
+    the recipe uses the structured-loss path (loss_fn consumes the
+    (logits, aux) pair forward returns).
+    """
+    from metatransformer_tpu.core import moe_encoder as moe_enc
+    from metatransformer_tpu.heads import cls as cls_head
+    from metatransformer_tpu.tokenizers import image as image_tok
+    from metatransformer_tpu.train import step as step_lib
+
+    m = cfg.model.moe
+    n_experts = int(m.get("n_experts", 4))
+    every = int(m.get("every", 2))
+    if smoke:
+        ecfg = moe_enc.MoEEncoderConfig(
+            dim=64, depth=2, num_heads=4,
+            n_experts=min(n_experts, 2), moe_every=every,
+        )
+    else:
+        base = _encoder_cfg(cfg, smoke)
+        ecfg = moe_enc.MoEEncoderConfig(
+            dim=base.dim, depth=base.depth, num_heads=base.num_heads,
+            n_experts=n_experts, moe_every=every,
+            capacity_factor=float(m.get("capacity_factor", 1.25)),
+        )
+    tok = cfg.model.get("tokenizer", {})
+    patch = tok.get("patch_size", 16)
+    img = 2 * patch if smoke else tok.get("img_size", 224)
+    tcfg = image_tok.ImageTokenizerConfig(
+        img_size=img, patch_size=patch, dim=ecfg.dim
+    )
+    hcfg = cls_head.ClsHeadConfig(
+        in_dim=ecfg.dim, num_classes=cfg.model.num_classes
+    )
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
+        "tokenizer": image_tok.init(tcfg, k1),
+        "encoder": moe_enc.init(ecfg, k2),
+        "cls_token": jax.random.normal(k3, (1, 1, ecfg.dim)) * 0.02,
+        "pos_embed": (
+            jax.random.normal(k4, (1, tcfg.num_patches + 1, ecfg.dim)) * 0.02
+        ),
+        "norm_scale": jnp.ones((ecfg.dim,), jnp.float32),
+        "norm_bias": jnp.zeros((ecfg.dim,), jnp.float32),
+        "head": cls_head.init(hcfg, k5),
+    }
+
+    def forward(p, x, rng):
+        tokens = image_tok.apply(p["tokenizer"], x, tcfg)
+        b = tokens.shape[0]
+        cls_tok = jnp.broadcast_to(p["cls_token"], (b, 1, ecfg.dim))
+        seq = jnp.concatenate([cls_tok, tokens], axis=1) + p["pos_embed"]
+        xenc, aux = moe_enc.encode(p["encoder"], seq, ecfg)
+        xenc = enc.layer_norm(xenc, p["norm_scale"], p["norm_bias"], 1e-6)
+        logits = cls_head.apply(p["head"], xenc[:, 0], hcfg)
+        return logits, aux
+
+    def loss_fn(out, label):
+        logits, aux = out
+        return step_lib.cross_entropy_loss(logits, label) + aux
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            yield {
+                "input": jnp.asarray(
+                    rng.standard_normal((batch_size, img, img, 3)), jnp.float32
+                ),
+                "label": _labels(rng, batch_size, cfg.model.num_classes),
+            }
+
+    return Recipe(
+        params, forward, synth,
+        loss_fn=loss_fn, classification=False, best_mode="min",
+    )
+
+
 def build_video(cfg, key, smoke=False):
     """Kinetics-400 finetune assembly (Video/run_class_finetuning.py:406)."""
     from metatransformer_tpu.models import video_classifier

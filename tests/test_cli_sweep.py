@@ -24,7 +24,7 @@ ALL_YAMLS = sorted(
 
 def test_no_orphan_yamls():
     """The sweep below must cover every shipped recipe."""
-    assert len(ALL_YAMLS) >= 51
+    assert len(ALL_YAMLS) >= 52
 
 
 @pytest.mark.parametrize("name", ALL_YAMLS)

@@ -90,3 +90,23 @@ def test_overfit_with_aux():
     for _ in range(60):
         state_p, st, loss = step(state_p, st)
     assert float(loss) < 0.5 * init
+
+
+def test_encode_ep_matches_dense():
+    """Expert-parallel moe-encoder (experts one-per-device over an 8-dev
+    'expert' mesh, all_to_all dispatch) == the dense encode, token for
+    token, when capacity admits every token."""
+    from jax.sharding import Mesh
+
+    cfg = dataclasses.replace(
+        TINY, n_experts=8, capacity_factor=8.0, depth=2
+    )
+    params = me.init(cfg, jax.random.PRNGKey(5))
+    x = _x(b=8, t=8, seed=6)
+    dense, dense_aux = me.encode(params, x, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("expert",))
+    ep, ep_aux = me.make_encode_ep(cfg, mesh)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(ep), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+    assert np.isfinite(float(ep_aux))
