@@ -166,12 +166,14 @@ def test_daemon_propagates_errors():
     daemon.stop()
 
 
-def test_dispatcher_serves_eleven_modalities():
-    """The BASELINE 'one chip serves all modalities' config: eleven of the
-    twelve Data2Seq facades with their native raw formats behind ONE
-    dispatcher and one shared encoder; every request comes back pooled,
-    finite, in order, and the bucket grouping collapses them into a
-    handful of programs."""
+def test_dispatcher_serves_twelve_modalities():
+    """The BASELINE 'one chip serves all modalities' config: ALL twelve
+    Data2Seq facades with their native raw formats behind ONE dispatcher
+    and one shared encoder; every request comes back pooled, finite, in
+    order, and the bucket grouping collapses them into a handful of
+    programs. Text runs a width-16 CLIP tower whose embedding zero-pads
+    UP to the 32-d test encoder — exactly the reference's
+    ``zero_padding`` (Data2Seq/Text.py:15-19)."""
     import dataclasses
 
     d = 32
@@ -185,6 +187,7 @@ def test_dispatcher_serves_eleven_modalities():
     from metatransformer_tpu.tokenizers import (
         hyper as hyper_tok,
         tabular as tab_tok,
+        text as text_tok,
         time_series as ts_tok,
         video as video_tok,
     )
@@ -218,9 +221,13 @@ def test_dispatcher_serves_eleven_modalities():
         ),
         "point": pipeline.Data2Seq("point", dim=d),
         "audio": pipeline.Data2Seq("audio", dim=d),
-        # text is excluded: CLIP's 512-wide output zero-pads UP to the
-        # encoder dim (README.md zero_padding), so it can't shrink to a
-        # 32-d test encoder; graph stands in as the ragged-dict modality
+        "text": pipeline.Data2Seq(
+            "text", dim=d,
+            config=text_tok.TextTokenizerConfig(
+                vocab_size=64, context_length=8, width=16, depth=2,
+                num_heads=2, proj_dim=16, target_dim=d, eot_token_id=63,
+            ),
+        ),
         "graph": pipeline.Data2Seq("graph", dim=d),
     }
     toks = {m: (f, f.init(next(key))) for m, (f) in facades.items()}
@@ -248,6 +255,9 @@ def test_dispatcher_serves_eleven_modalities():
         "hyper": rng.standard_normal((1, 12, 4)).astype(np.float32),
         "point": rng.standard_normal((1, 128, 3)).astype(np.float32) * 0.5,
         "audio": rng.standard_normal((1, 128, 128)).astype(np.float32),
+        "text": np.concatenate(
+            [rng.integers(1, 62, (1, 7)), np.full((1, 1), 63)], axis=1
+        ).astype(np.int32),
         "graph": graph_batch,
     }
     reqs = [
