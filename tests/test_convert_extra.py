@@ -99,3 +99,34 @@ def test_released_layout_strict_roundtrip():
     extra["0.attn.q_bias"] = np.zeros((d,), np.float32)
     with pytest.raises(Exception):
         convert.convert_state_dict(extra)
+
+
+def test_released_layout_strict_roundtrip_l14():
+    """Same strict both-ways mapping at the flagship L14 layout
+    (``Meta-Transformer_large_patch14_encoder.pth``: 24 timm Blocks x
+    1024 dim -> 288 flat keys, Image/README.md:19)."""
+    rng = np.random.default_rng(1)
+    d, depth = 1024, 24
+    layer_shapes = {
+        "norm1.weight": (d,), "norm1.bias": (d,),
+        "attn.qkv.weight": (3 * d, d), "attn.qkv.bias": (3 * d,),
+        "attn.proj.weight": (d, d), "attn.proj.bias": (d,),
+        "norm2.weight": (d,), "norm2.bias": (d,),
+        "mlp.fc1.weight": (4 * d, d), "mlp.fc1.bias": (4 * d,),
+        "mlp.fc2.weight": (d, 4 * d), "mlp.fc2.bias": (d,),
+    }
+    state = {
+        f"{i}.{k}": rng.standard_normal(s).astype(np.float32) * 0.02
+        for i in range(depth)
+        for k, s in layer_shapes.items()
+    }
+    assert len(state) == 288
+
+    params = convert.convert_state_dict(state)
+    cfg = convert.infer_config(params)
+    assert cfg == encoder.LARGE
+    assert (cfg.dim, cfg.depth, cfg.num_heads) == (1024, 24, 16)
+    shapes = encoder.param_shapes(cfg)
+    assert set(params) == set(shapes)
+    for name, shape in shapes.items():
+        assert params[name].shape == (depth,) + shape, name

@@ -150,3 +150,18 @@ def test_remat_matches_and_grads_equal():
     g_r = jax.grad(lambda xx: loss(xx, True))(x)
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_encoder_matches_torch_large_scale():
+    """Full L14 geometry (24x1024, heads=16), 257 tokens — the
+    reference's flagship 88.1% configuration
+    (Image/README.md:19, Meta-Transformer_large_patch14_encoder.pth),
+    recipe ``imagenet_large_metatransformer.yaml``."""
+    cfg = encoder.LARGE
+    blocks, params = _make_pair(cfg, seed=5)
+    x = np.random.default_rng(6).standard_normal((1, 257, cfg.dim), dtype=np.float32)
+    with torch.no_grad():
+        want = blocks(torch.from_numpy(x)).numpy()
+    got = np.asarray(encoder.encode(params, jnp.asarray(x), cfg))
+    err = np.max(np.abs(got - want))
+    assert err <= 1e-3, f"max abs err {err}"
