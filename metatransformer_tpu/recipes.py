@@ -349,7 +349,9 @@ def build_tabular(cfg, key, smoke=False):
 
 def build_hyper(cfg, key, smoke=False):
     """Indian Pines band-patch classification
-    (Hyper-spectrum/metatransformer.py:111-165 + train.py band patches)."""
+    (Hyper-spectrum/metatransformer.py:111-165 + train.py band patches).
+    ``model.mode: caf`` selects the SpectralFormer CAF variant
+    (train.py:22 ``--mode {ViT,CAF}``)."""
     from metatransformer_tpu.models import hyper_classifier
     from metatransformer_tpu.tokenizers import hyper as hyper_tok
 
@@ -365,6 +367,7 @@ def build_hyper(cfg, key, smoke=False):
         ),
         encoder=ecfg,
         num_classes=cfg.model.num_classes,
+        mode=cfg.model.get("mode", "vit").lower(),
     )
     params = hyper_classifier.init(mcfg, key)
     patch_dim = mcfg.tokenizer.patch_dim

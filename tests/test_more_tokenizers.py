@@ -97,3 +97,51 @@ def test_tabular_classifier_with_continuous():
     out = tabular_classifier.forward(params, cats, cfg, cont)
     assert out.shape == (2, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+def test_hyper_caf_mode():
+    """CAF (Hyper-spectrum/train.py:22 --mode, metatransformer.py:96-107):
+    identity-initialised skip mix => CAF == ViT at init exactly; after a
+    gradient step the skipcat weights carry gradient (the fusion path is
+    live); depth-2 config degenerates to zero skipcats."""
+    tcfg = hyper_tok.HyperTokenizerConfig(
+        img_size=4, near_band=2, num_tokens=8, dim=32
+    )
+    ecfg = encoder.EncoderConfig(dim=32, depth=4, num_heads=4)
+    vit = hyper_classifier.HyperClassifierConfig(
+        tokenizer=tcfg, encoder=ecfg, num_classes=5, mode="vit"
+    )
+    caf = hyper_classifier.HyperClassifierConfig(
+        tokenizer=tcfg, encoder=ecfg, num_classes=5, mode="caf"
+    )
+    params = hyper_classifier.init(caf, jax.random.PRNGKey(0))
+    assert params["skipcat_w"].shape == (2, 9, 9, 2)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 8, tcfg.patch_dim), np.float32)
+    )
+    out_caf = hyper_classifier.forward(params, x, caf)
+    vit_params = {k: v for k, v in params.items() if not k.startswith("skipcat")}
+    out_vit = hyper_classifier.forward(vit_params, x, vit)
+    np.testing.assert_allclose(
+        np.asarray(out_caf), np.asarray(out_vit), rtol=1e-5, atol=1e-5
+    )
+
+    labels = jnp.asarray([1, 3])
+
+    def loss(p):
+        logits = hyper_classifier.forward(p, x, caf)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["skipcat_w"]).max()) > 0
+    assert float(jnp.abs(g["skipcat_b"]).max()) > 0
+
+    shallow = hyper_classifier.HyperClassifierConfig(
+        tokenizer=tcfg,
+        encoder=encoder.EncoderConfig(dim=32, depth=2, num_heads=4),
+        num_classes=5,
+        mode="caf",
+    )
+    p2 = hyper_classifier.init(shallow, jax.random.PRNGKey(2))
+    assert p2["skipcat_w"].shape == (0, 9, 9, 2)
+    assert hyper_classifier.forward(p2, x, shallow).shape == (2, 5)
