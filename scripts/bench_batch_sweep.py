@@ -8,10 +8,7 @@ Run from the repo root on the real TPU:
     PYTHONPATH=. python scripts/bench_batch_sweep.py
 """
 
-import sys
 import time
-
-sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -43,15 +40,30 @@ def main():
             rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
         )
         run = chained(cfg, iters)
-        try:
+
+        def timed():
             float(run(params, images))  # compile + warmup
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 float(run(params, images))
                 best = min(best, (time.perf_counter() - t0) / iters)
+            return best
+
+        try:
+            try:
+                best = timed()
+            except Exception as e:
+                # Genuine OOM fails this batch size; anything else is
+                # presumed a transient axon-tunnel abort -> retry once
+                # (mirrors bench.py's retry-once policy).
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    raise
+                print(f"batch={batch:4d}  transient {type(e).__name__}; "
+                      "retrying once", flush=True)
+                best = timed()
             print(f"batch={batch:4d}  {batch / best:9.1f} seq/s/chip", flush=True)
-        except Exception as e:  # OOM or transient abort
+        except Exception as e:
             print(f"batch={batch:4d}  FAILED: {type(e).__name__}: {e}", flush=True)
 
 
