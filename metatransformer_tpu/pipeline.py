@@ -83,7 +83,7 @@ class Data2Seq:
     def init(self, key: jax.Array) -> Dict[str, jax.Array]:
         return self._mod.init(self.config, key)
 
-    def __call__(self, params, raw, **kw) -> jax.Array:
+    def _apply(self, params, raw, **kw) -> jax.Array:
         mod = self.modality
         if mod == "point":
             _, tokens = self._mod.apply(params, raw, self.config, **kw)
@@ -95,6 +95,19 @@ class Data2Seq:
             cls = kw.pop("cls_token", jnp.zeros((1, 1, self.dim)))
             return self._mod.apply(params, raw, self.config, cls, **kw)
         return self._mod.apply(params, raw, self.config, **kw)
+
+    def __call__(self, params, raw, **kw) -> jax.Array:
+        # No-kwarg calls (the serving/bench path) run as ONE jitted XLA
+        # program per raw shape — BASELINE.md's "one XLA program per
+        # modality". Eager per-op dispatch is pathological through an
+        # RPC device transport (each op a roundtrip: the CLIP text tower
+        # alone is hundreds). kwarg calls (hyper cls_token, masks) fall
+        # back to eager; wrap in your own jit there.
+        if not kw:
+            if getattr(self, "_jit_apply", None) is None:
+                self._jit_apply = jax.jit(self._apply)
+            return self._jit_apply(params, raw)
+        return self._apply(params, raw, **kw)
 
 
 def fuse_and_encode(
@@ -159,3 +172,23 @@ def encode_bucketed(
 ) -> jax.Array:
     """The single serving program per bucket: masked shared encoding."""
     return enc.encode(encoder_params, tokens, cfg, mask=mask, precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def encode_bucketed_pooled(
+    encoder_params: Dict[str, jax.Array],
+    tokens: jax.Array,
+    mask: jax.Array,
+    cfg: enc.EncoderConfig,
+    precision: enc.Precision = enc.BF16,
+) -> jax.Array:
+    """``encode_bucketed`` with the valid-token mean fused into the same
+    program: [B, T, D] -> [B, D]. The pooled-serving readback is B*D
+    floats instead of B*T*D — through any RPC device transport the full
+    feature readback dominates serve latency, so pooling must not leave
+    the device."""
+    feats = enc.encode(
+        encoder_params, tokens, cfg, mask=mask, precision=precision
+    ).astype(jnp.float32)
+    m = mask.astype(jnp.float32)[..., None]
+    return (feats * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)

@@ -33,6 +33,15 @@ class ServingConfig:
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
     precision: enc.Precision = enc.BF16
     pool: str = "mean"  # "mean" over valid tokens | "none" (full seq)
+    # fused=True (pooled serving only): each (modality, batch-bucket)
+    # group runs ONE raw->tokens->encoder->pooled XLA program — no
+    # intermediate token readback, one device dispatch per group, and
+    # the readback is B*D floats. Mixed-length bucket sharing buys
+    # nothing once outputs are pooled (no cross-sequence interaction),
+    # so this dominates the bucketed path for feature serving; the
+    # bucketed path remains the mode for pool="none" full sequences
+    # and for multimodal fusion (``pipeline.fuse_and_encode``).
+    fused: bool = False
 
 
 @dataclasses.dataclass
@@ -65,17 +74,124 @@ class Dispatcher:
         self.encoder_params = encoder_params
         self.cfg = cfg
         self.stats: Dict[Tuple[int, int], int] = {}
+        # (modality, padded batch) -> invocation count: each key is one
+        # cached tokenizer executable, mirroring ``stats`` for the encoder.
+        self.tok_stats: Dict[Tuple[str, int], int] = {}
+        # seconds spent in device dispatches (packed flush call +
+        # readback), excluding host-side grouping/stacking/queueing —
+        # the serve-side split of end-to-end latency.
+        self.dispatch_s: float = 0.0
 
-    def _tokenize(self, req: Request) -> np.ndarray:
-        facade, params = self.tokenizers[req.modality]
-        toks = facade(params, req.data)
-        toks = np.asarray(toks)
-        return toks[0] if toks.ndim == 3 else toks
+    @staticmethod
+    def _shape_sig(data: Any) -> Tuple:
+        leaves, treedef = jax.tree.flatten(data)
+        return (str(treedef),) + tuple(
+            (l.shape, str(np.asarray(l).dtype)) for l in leaves
+        )
+
+    def _stack_pad(self, datas: List[Any]) -> Tuple[Any, int]:
+        """Stack same-shape raw inputs on the batch axis, padded up the
+        batch-bucket ladder so the executable set stays bounded (pad
+        rows repeat the last request and are sliced off). Payloads that
+        already live on device are concatenated with jnp so they never
+        round-trip through the host."""
+        n = len(datas)
+        bb = batch_bucket(n, self.cfg.batch_buckets)
+
+        def _cat(*xs):
+            parts = list(xs) + [xs[-1]] * (bb - n)
+            if any(isinstance(x, jax.Array) for x in xs):
+                return jnp.concatenate([jnp.asarray(x) for x in parts], axis=0)
+            return np.concatenate([np.asarray(x) for x in parts], axis=0)
+
+        return jax.tree.map(_cat, *datas), bb
+
+    def _tokenize_group(self, modality: str, datas: List[Any]) -> List[np.ndarray]:
+        """Tokenize same-modality, same-raw-shape requests in ONE stacked
+        call. One device dispatch per group instead of one per request —
+        the tokenize-side twin of the encoder's bucket batching."""
+        facade, params = self.tokenizers[modality]
+        stacked, bb = self._stack_pad(datas)
+        self.tok_stats[(modality, bb)] = self.tok_stats.get((modality, bb), 0) + 1
+        toks = np.asarray(facade(params, stacked))
+        return [toks[i] for i in range(len(datas))]
+
+    def _packed_fn(self):
+        """One jitted program for an ENTIRE flush: every modality group's
+        raw batch in, every group's pooled features out. XLA overlaps the
+        independent per-modality subgraphs, and the host pays ONE device
+        dispatch per flush instead of one per group — on an RPC device
+        transport the per-dispatch roundtrip otherwise dominates. jit
+        retraces per flush composition (dict keys + shapes); the
+        batch-bucket ladder keeps the composition set bounded."""
+        if getattr(self, "_packed", None) is None:
+            tokenizers = self.tokenizers
+            ecfg, prec = self.cfg.encoder, self.cfg.precision
+
+            def packed(tok_params, enc_params, raws):
+                out = {}
+                for k in raws:
+                    m = k.rsplit("#", 1)[0]
+                    toks = tokenizers[m][0]._apply(tok_params[m], raws[k])
+                    feats = enc.encode(enc_params, toks, ecfg, precision=prec)
+                    out[k] = feats.astype(jnp.float32).mean(axis=1)
+                return out
+
+            self._packed = jax.jit(packed)
+        return self._packed
+
+    def _serve_fused(self, requests, by_sig) -> List[np.ndarray]:
+        out: List[Optional[np.ndarray]] = [None] * len(requests)
+        cap = max(self.cfg.batch_buckets)
+        raws: Dict[str, Any] = {}
+        rows: Dict[str, List[int]] = {}
+        tok_params: Dict[str, Any] = {}
+        for sig, idxs in sorted(by_sig.items(), key=lambda kv: kv[0]):
+            modality = sig[0]
+            tok_params[modality] = self.tokenizers[modality][1]
+            for j, k in enumerate(range(0, len(idxs), cap)):
+                chunk = idxs[k : k + cap]
+                stacked, bb = self._stack_pad(
+                    [requests[i].data for i in chunk]
+                )
+                self.tok_stats[(modality, bb)] = (
+                    self.tok_stats.get((modality, bb), 0) + 1
+                )
+                key = f"{modality}#{len(rows)}"
+                raws[key] = stacked
+                rows[key] = chunk
+        t0 = time.perf_counter()
+        pooled = self._packed_fn()(tok_params, self.encoder_params, raws)
+        pooled = {k: np.asarray(v) for k, v in pooled.items()}
+        self.dispatch_s += time.perf_counter() - t0
+        for key, chunk in rows.items():
+            for row, i in enumerate(chunk):
+                out[i] = pooled[key][row]
+        return out  # type: ignore[return-value]
 
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """-> per-request pooled features (cfg.pool='mean') or full
         [T_i, D] sequences, in input order."""
-        tokens = [self._tokenize(r) for r in requests]
+        tokens: List[Optional[np.ndarray]] = [None] * len(requests)
+        by_sig: Dict[Tuple, List[int]] = {}
+        for i, r in enumerate(requests):
+            if r.modality not in self.tokenizers:
+                raise KeyError(r.modality)
+            by_sig.setdefault(
+                (r.modality,) + self._shape_sig(r.data), []
+            ).append(i)
+        if self.cfg.fused and self.cfg.pool == "mean":
+            return self._serve_fused(requests, by_sig)
+
+        cap = max(self.cfg.batch_buckets)
+        for sig, idxs in by_sig.items():
+            for k in range(0, len(idxs), cap):
+                chunk = idxs[k : k + cap]
+                group = self._tokenize_group(
+                    sig[0], [requests[i].data for i in chunk]
+                )
+                for i, t in zip(chunk, group):
+                    tokens[i] = t
         groups: Dict[int, List[int]] = {}
         for i, t in enumerate(tokens):
             lb = pipeline.bucket_length(t.shape[0])
@@ -92,6 +208,20 @@ class Dispatcher:
                 batch[row, : t.shape[0]] = t
                 mask[row, : t.shape[0]] = True
             self.stats[(lb, bb)] = self.stats.get((lb, bb), 0) + 1
+            if self.cfg.pool == "mean":
+                # pooling stays on device: readback is [bb, D], not
+                # [bb, lb, D] (pipeline.encode_bucketed_pooled)
+                pooled = np.asarray(
+                    pipeline.encode_bucketed_pooled(
+                        self.encoder_params, jnp.asarray(batch),
+                        jnp.asarray(mask), self.cfg.encoder,
+                        precision=self.cfg.precision,
+                    ),
+                    np.float32,
+                )
+                for row, i in enumerate(idxs):
+                    out[i] = pooled[row]
+                continue
             feats = pipeline.encode_bucketed(
                 self.encoder_params, jnp.asarray(batch), jnp.asarray(mask),
                 self.cfg.encoder, precision=self.cfg.precision,
@@ -99,10 +229,7 @@ class Dispatcher:
             feats = np.asarray(feats, np.float32)
             for row, i in enumerate(idxs):
                 n = tokens[i].shape[0]
-                if self.cfg.pool == "mean":
-                    out[i] = feats[row, :n].mean(axis=0)
-                else:
-                    out[i] = feats[row, :n]
+                out[i] = feats[row, :n]
         return out  # type: ignore[return-value]
 
     @property
@@ -189,6 +316,12 @@ class ServingDaemon:
                 for (_, fut, t0), out in zip(group, outs):
                     self._latencies_s.append(done - t0)
                     fut.set_result(out)
+
+    def reset_stats(self) -> None:
+        """Drop recorded latencies (e.g. after a warmup pass whose
+        requests paid one-time XLA compiles)."""
+        with self._lock:
+            self._latencies_s.clear()
 
     def latency_percentiles(self) -> Dict[str, float]:
         """-> {"p50_ms", "p99_ms", "n"} over all served requests."""

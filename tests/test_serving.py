@@ -166,6 +166,111 @@ def test_daemon_propagates_errors():
     daemon.stop()
 
 
+def test_tokenizer_batching_one_call_per_group():
+    """Same-modality, same-raw-shape requests are tokenized in ONE
+    stacked call padded up the batch-bucket ladder (tok_stats counts
+    executables), and the batched rows match per-request results."""
+    disp, cfg = _setup()
+    rng = np.random.default_rng(3)
+    reqs = [
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32))
+        for _ in range(3)
+    ]
+    out = disp.serve(reqs)
+    # one stacked tokenize padded 3 -> bucket 4
+    assert disp.tok_stats == {("image", 4): 1}
+    alone = disp.serve([reqs[1]])
+    assert disp.tok_stats[("image", 1)] == 1
+    np.testing.assert_allclose(out[1], alone[0], atol=1e-5)
+
+
+def test_tokenizer_batching_stacks_graph_dicts():
+    """Tree-valued raw inputs (graph batch dicts) stack leaf-wise on the
+    batch axis; per-example node counts survive the round trip."""
+    cfg = serving.ServingConfig(
+        encoder=enc.EncoderConfig(dim=32, depth=2, num_heads=2),
+        precision=enc.FP32,
+    )
+    g = pipeline.Data2Seq("graph", dim=32)
+    toks = {"graph": (g, g.init(jax.random.PRNGKey(0)))}
+    disp = serving.Dispatcher(toks, enc.init(cfg.encoder, jax.random.PRNGKey(1)), cfg)
+    rng = np.random.default_rng(5)
+
+    def graph_raw():
+        n_nodes, n_edges = 6, 8
+        return {
+            "node_data": rng.integers(0, 16, (1, n_nodes, 9)).astype(np.int32),
+            "edge_data": rng.integers(0, 4, (1, n_edges, 3)).astype(np.int32),
+            "edge_index": rng.integers(0, n_nodes, (1, n_edges, 2)).astype(np.int32),
+            "node_num": np.asarray([n_nodes], np.int32),
+            "edge_num": np.asarray([n_edges], np.int32),
+            "lap_eigvec": rng.standard_normal((1, n_nodes, 16)).astype(np.float32),
+        }
+
+    reqs = [serving.Request("graph", graph_raw()) for _ in range(2)]
+    out = disp.serve(reqs)
+    assert disp.tok_stats == {("graph", 2): 1}
+    alone = disp.serve([reqs[0]])
+    np.testing.assert_allclose(out[0], alone[0], atol=1e-5)
+
+
+def test_fused_serving_matches_bucketed():
+    """fused=True serves each (modality, batch-bucket) group as ONE
+    raw->pooled program; features must match the bucketed path (same
+    params, fp32) and program stats land in tok_stats."""
+    import dataclasses as dc
+
+    cfg = serving.ServingConfig(
+        encoder=enc.EncoderConfig(dim=32, depth=2, num_heads=2),
+        precision=enc.FP32,
+    )
+    key = jax.random.PRNGKey(0)
+    img = pipeline.Data2Seq("image", dim=32)
+    img = pipeline.Data2Seq(
+        "image", dim=32,
+        config=dc.replace(img.config, img_size=32, dim=32),
+    )
+    ts = pipeline.Data2Seq("time-series", dim=32)
+    toks = {
+        "image": (img, img.init(key)),
+        "time-series": (ts, ts.init(jax.random.PRNGKey(1))),
+    }
+    enc_params = enc.init(cfg.encoder, jax.random.PRNGKey(2))
+    bucketed = serving.Dispatcher(toks, enc_params, cfg)
+    fused = serving.Dispatcher(toks, enc_params, dc.replace(cfg, fused=True))
+
+    rng = np.random.default_rng(11)
+    reqs = [
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32)),
+        serving.Request("time-series", jnp.asarray(
+            rng.standard_normal((1, 48, 1)), jnp.float32)),
+        serving.Request("image", jnp.asarray(
+            rng.standard_normal((1, 32, 32, 3)), jnp.float32)),
+    ]
+    want = bucketed.serve(reqs)
+    got = fused.serve(reqs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+    # 2 images -> one (image, bucket 2) program; 1 ts -> (ts, 1)
+    assert fused.tok_stats == {("image", 2): 1, ("time-series", 1): 1}
+    assert fused.num_programs == 0  # no separate encode executables
+
+
+def test_daemon_reset_stats():
+    disp, cfg = _setup()
+    daemon = serving.ServingDaemon(disp, max_batch=2, max_wait_s=0.01)
+    rng = np.random.default_rng(9)
+    fut = daemon.submit(serving.Request("image", jnp.asarray(
+        rng.standard_normal((1, 32, 32, 3)), jnp.float32)))
+    fut.result(timeout=30)
+    assert daemon.latency_percentiles()["n"] == 1
+    daemon.reset_stats()
+    assert daemon.latency_percentiles()["n"] == 0
+    daemon.stop()
+
+
 def test_dispatcher_serves_twelve_modalities():
     """The BASELINE 'one chip serves all modalities' config: ALL twelve
     Data2Seq facades with their native raw formats behind ONE dispatcher
