@@ -43,7 +43,24 @@ def chained_forward(cfg, iters):
     return jax.jit(run, static_argnames=())
 
 
-def serving_latency(cfg, params, n=30):
+def device_latency_ms(cfg, params, iters=50):
+    """Device-only batch-1 forward latency: ``iters`` forwards chained
+    inside ONE jit (data dependency between iterations, single scalar
+    readback), so the axon tunnel RTT appears once and amortizes to
+    nothing. This is the latency the framework itself contributes; the
+    tunnel-inclusive end-to-end figure is ``e2e_latency``."""
+    run = chained_forward(cfg, iters)
+    image = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 224, 224, 3), np.float32)
+    )
+    float(run(params, image))  # warmup/compile
+    t0 = time.perf_counter()
+    result = float(run(params, image))
+    assert np.isfinite(result)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def e2e_latency(cfg, params, n=30):
     """Raw-input -> logits p50/p99 latency, batch 1 (BASELINE.md's north-
     star serving metric). Each call uses a DISTINCT host array so the axon
     tunnel's same-input memoization can't fake the timing; the host->device
@@ -69,6 +86,78 @@ def serving_latency(cfg, params, n=30):
     return float(np.percentile(arr, 50)), float(np.percentile(arr, 99))
 
 
+def l14_throughput(batch=64, iters=10):
+    """Single-chip throughput on the L14 "large" track — the reference's
+    flagship 88.1% configuration (Image/README.md:19): 24 x 1024, 16
+    heads, patch 14 at 224px (257 tokens). Same chained-fori protocol."""
+    from metatransformer_tpu.tokenizers import image as image_tok
+
+    cfg = image_classifier.ImageClassifierConfig(
+        tokenizer=image_tok.ImageTokenizerConfig(
+            img_size=224, patch_size=14, dim=enc.LARGE.dim
+        ),
+        encoder=enc.LARGE,
+        num_classes=1000,
+    )
+    params = image_classifier.init(cfg, jax.random.PRNGKey(3))
+    images = jnp.asarray(
+        np.random.default_rng(3).standard_normal((batch, 224, 224, 3), np.float32)
+    )
+    run = chained_forward(cfg, iters)
+    float(run(params, images))  # warmup/compile
+    t0 = time.perf_counter()
+    result = float(run(params, images))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(result)
+    return batch / dt
+
+
+def serving_mixed_seq_s(per_modality=3, rounds=3):
+    """Mixed-modality serving throughput: 9 modalities' raw requests
+    through ONE fused packed-flush Dispatcher program (ServingConfig
+    .fused; see BENCH_SERVING.md for the full 12-modality ServingDaemon
+    run — this compact version keeps bench.py's wall time bounded by
+    skipping the three heavy-payload modalities video/audio/point).
+    Tunnel-inclusive: each round's requests are fresh host arrays."""
+    from scripts.bench_modalities import _config
+
+    from metatransformer_tpu import pipeline, serving
+
+    modalities = [
+        "image", "x-ray", "infrared", "text", "tabular",
+        "time-series", "imu", "hyper", "graph",
+    ]
+    scfg = serving.ServingConfig(
+        encoder=enc.BASE, precision=enc.BF16, fused=True
+    )
+    keys = iter(jax.random.split(jax.random.PRNGKey(4), 16))
+    toks = {}
+    for m in modalities:
+        facade = pipeline.Data2Seq(m, config=_config(m))
+        toks[m] = (facade, facade.init(next(keys)))
+    disp = serving.Dispatcher(toks, enc.init(scfg.encoder, next(keys)), scfg)
+
+    from scripts.bench_serving import RAW
+
+    rng = np.random.default_rng(5)
+
+    def mixed_requests():
+        return [
+            serving.Request(m, RAW[m](rng))
+            for _ in range(per_modality)
+            for m in modalities
+        ]
+
+    disp.serve(mixed_requests())  # warmup: compiles the packed program
+    n = per_modality * len(modalities) * rounds
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        outs = disp.serve(mixed_requests())
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(o).all() for o in outs)
+    return n / dt
+
+
 def main() -> None:
     cfg = image_classifier.ImageClassifierConfig()  # B16, 1000 classes
     params = image_classifier.init(cfg, jax.random.PRNGKey(0))
@@ -87,7 +176,10 @@ def main() -> None:
     assert np.isfinite(result)
     seq_s = batch / dt
 
-    p50, p99 = serving_latency(cfg, params)
+    dev_ms = device_latency_ms(cfg, params)
+    p50, p99 = e2e_latency(cfg, params)
+    l14 = l14_throughput()
+    serving = serving_mixed_seq_s()
 
     print(
         json.dumps(
@@ -96,8 +188,16 @@ def main() -> None:
                 "value": round(seq_s, 2),
                 "unit": "seq/s/chip",
                 "vs_baseline": round(seq_s / TARGET_SEQ_S, 2),
-                "latency_p50_ms": round(p50, 2),
-                "latency_p99_ms": round(p99, 2),
+                # batch-1 latency, split: device-only (fori-chained, the
+                # framework's contribution) vs end-to-end (axon tunnel
+                # RTT + transfer included)
+                "latency_device_ms": round(dev_ms, 2),
+                "latency_e2e_ms": round(p50, 2),
+                "latency_e2e_p99_ms": round(p99, 2),
+                # the reference's flagship L14 (24x1024, patch 14) track
+                "l14_seq_s": round(l14, 2),
+                # 9-modality mixed serving through one packed program
+                "serving_mixed_seq_s": round(serving, 2),
             }
         )
     )

@@ -29,7 +29,10 @@ import time
 import jax
 import numpy as np
 
-from bench_modalities import _config  # shared full-scale tokenizer configs
+try:  # run as a script (sys.path[0] = scripts/)
+    from bench_modalities import _config  # shared full-scale tokenizer configs
+except ImportError:  # imported as scripts.bench_serving from the repo root
+    from scripts.bench_modalities import _config
 
 from metatransformer_tpu import pipeline, serving
 from metatransformer_tpu.core import encoder as enc
