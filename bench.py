@@ -24,6 +24,9 @@ import numpy as np
 
 from metatransformer_tpu.core import encoder as enc
 from metatransformer_tpu.models import image_classifier
+from metatransformer_tpu.utils import compile_cache
+
+compile_cache.enable()  # restart-warm executables (24.9s -> 3.5s measured)
 
 CPU_REFERENCE_SEQ_S = 3.41  # torch CPU, see module docstring
 TARGET_SEQ_S = 5.0 * CPU_REFERENCE_SEQ_S

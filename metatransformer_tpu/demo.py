@@ -121,7 +121,17 @@ def main(argv=None) -> int:
                    help=".npz classifier head with arrays w [D, n] (+ b)")
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--compile-cache", nargs="?", const="", default=None, metavar="DIR",
+        help="persistent XLA compilation cache (restart-warm executables; "
+             "default dir: <repo>/.cache/xla)",
+    )
     args = p.parse_args(argv)
+
+    if args.compile_cache is not None:
+        from metatransformer_tpu.utils import compile_cache
+
+        compile_cache.enable(args.compile_cache or compile_cache.DEFAULT_DIR)
 
     if not args.input and not args.synthetic and args.text is None:
         p.error("one of --input / --text / --synthetic is required")

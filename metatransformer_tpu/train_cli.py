@@ -135,8 +135,18 @@ def main(argv=None) -> int:
         help="evaluate EVERY ckpt_epoch_*.npz in --work-dir and report "
              "the best (pcdet tools/test.py repeat_eval_ckpt)",
     )
+    p.add_argument(
+        "--compile-cache", nargs="?", const="", default=None, metavar="DIR",
+        help="persistent XLA compilation cache (restart-warm executables; "
+             "default dir: <repo>/.cache/xla)",
+    )
     p.add_argument("overrides", nargs="*", help="key=value config overrides")
     args = p.parse_args(argv)
+
+    if args.compile_cache is not None:
+        from metatransformer_tpu.utils import compile_cache
+
+        compile_cache.enable(args.compile_cache or compile_cache.DEFAULT_DIR)
 
     from metatransformer_tpu import recipes
 

@@ -28,6 +28,9 @@ import numpy as np
 
 from metatransformer_tpu import pipeline
 from metatransformer_tpu.core import encoder as enc
+from metatransformer_tpu.utils import compile_cache
+
+compile_cache.enable()  # restart-warm executables across bench runs
 
 # CPU reference throughput (seq/s) per modality: the reference-equivalent
 # torch pipeline (tokenizer + 12 timm Blocks) on this machine's single CPU

@@ -36,6 +36,9 @@ except ImportError:  # imported as scripts.bench_serving from the repo root
 
 from metatransformer_tpu import pipeline, serving
 from metatransformer_tpu.core import encoder as enc
+from metatransformer_tpu.utils import compile_cache
+
+compile_cache.enable()  # restart-warm executables across bench runs
 
 # modality -> batch-1 raw request maker at the reference's native scale
 # (image 224px / video 16x224 / audio 1024x128 fbank / point 1024 pts /
