@@ -83,3 +83,35 @@ def fix_length(wav: np.ndarray, num_samples: int) -> np.ndarray:
     if len(wav) >= num_samples:
         return wav[:num_samples]
     return np.pad(wav, (0, num_samples - len(wav)))
+
+
+def compute_norm_stats(
+    manifest_path: str,
+    num_samples: int = 16000,
+    max_items: Optional[int] = None,
+) -> Tuple[float, float]:
+    """Dataset fbank mean/std for dataloader normalization.
+
+    Reference: ``Audio/src/get_norm_stats.py`` — iterates the manifest,
+    computes kaldi fbank per clip, accumulates the global frame mean and
+    std that ``AudiosetDataset`` then applies as (x - mean) / (2 * std)
+    (``Audio/src/dataloader.py:80-88``). Uses the numpy fbank twin
+    (:func:`metatransformer_tpu.ops.fbank.fbank_np`) so prep stays
+    host-side.
+    """
+    from metatransformer_tpu.ops import fbank as fbank_lib
+
+    with open(manifest_path) as f:
+        items = json.load(f)["data"]
+    if max_items:
+        items = items[:max_items]
+    total = total_sq = count = 0.0
+    for item in items:
+        wav, _sr = load_wav(item["wav"])
+        feats = fbank_lib.fbank_np(fix_length(wav, num_samples))
+        total += float(feats.sum())
+        total_sq += float(np.square(feats).sum())
+        count += feats.size
+    mean = total / max(count, 1.0)
+    std = float(np.sqrt(max(total_sq / max(count, 1.0) - mean * mean, 1e-12)))
+    return mean, std

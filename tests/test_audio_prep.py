@@ -57,3 +57,28 @@ def test_wav_reader_and_fix_length(tmp_path):
     spec = np.abs(np.fft.rfft(wav))
     peak_hz = np.argmax(spec) * sr / len(wav)
     assert abs(peak_hz - 440.0) < 5
+
+
+def test_norm_stats_match_direct_computation(tmp_path):
+    """compute_norm_stats (get_norm_stats.py surface) == the mean/std of
+    the concatenated per-clip fbanks."""
+    from metatransformer_tpu.ops import fbank as fbank_lib
+
+    root = str(tmp_path / "sc")
+    _make_tree(root)
+    out = str(tmp_path / "manifests")
+    audio_prep.write_manifests(root, out)
+    manifest = os.path.join(out, "speechcommand_train_data.json")
+
+    mean, std = audio_prep.compute_norm_stats(manifest, num_samples=16000)
+
+    with open(manifest) as f:
+        items = json.load(f)["data"]
+    feats = np.concatenate([
+        fbank_lib.fbank_np(
+            audio_prep.fix_length(audio_prep.load_wav(i["wav"])[0], 16000)
+        ).ravel()
+        for i in items
+    ])
+    np.testing.assert_allclose(mean, feats.mean(), rtol=1e-6)
+    np.testing.assert_allclose(std, feats.std(), rtol=1e-5)
