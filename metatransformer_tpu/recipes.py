@@ -202,6 +202,71 @@ def _build_image_moe(cfg, key, smoke=False):
     )
 
 
+def build_multimodal(cfg, key, smoke=False):
+    """Multimodal joint training: the README.md:113-150 demo trio
+    (video + audio + time-series tokens concatenated into the shared
+    encoder) as a trainable recipe — the reference repo's 'Multimodal
+    Joint Training with Meta-Transformer' ToDo row, which it ships no
+    trainer for."""
+    from metatransformer_tpu.models import multimodal_classifier as mm
+    from metatransformer_tpu.tokenizers import (
+        audio as audio_tok,
+        time_series as ts_tok,
+        video as video_tok,
+    )
+
+    ecfg = _encoder_cfg(cfg, smoke)
+    t = cfg.model.get("tokenizer", {})
+    c_in = t.get("ts_channels", 7)
+    if smoke:
+        toks = (
+            video_tok.VideoTokenizerConfig(num_frames=4, img_size=32, dim=ecfg.dim),
+            audio_tok.AudioTokenizerConfig(
+                num_mel_bins=64, num_frames=64, dim=ecfg.dim
+            ),
+            ts_tok.TimeSeriesConfig(c_in=c_in, dim=ecfg.dim),
+        )
+        shapes = {"video": (4, 32, 32, 3), "audio": (64, 64), "time-series": (24, c_in)}
+    else:
+        toks = (
+            video_tok.VideoTokenizerConfig(
+                num_frames=t.get("num_frames", 16),
+                img_size=t.get("img_size", 224),
+                dim=ecfg.dim,
+            ),
+            audio_tok.AudioTokenizerConfig(dim=ecfg.dim),
+            ts_tok.TimeSeriesConfig(c_in=c_in, dim=ecfg.dim),
+        )
+        shapes = {
+            "video": (t.get("num_frames", 16), t.get("img_size", 224),
+                      t.get("img_size", 224), 3),
+            "audio": (1024, 128),
+            "time-series": (t.get("ts_len", 96), c_in),
+        }
+    mcfg = mm.MultimodalClassifierConfig(
+        tokenizers=toks, encoder=ecfg, num_classes=cfg.model.num_classes
+    )
+    params = mm.init(mcfg, key)
+
+    def forward(p, x, rng):
+        return mm.forward(p, x, mcfg, precision=enc.BF16)
+
+    def synth(batch_size, n_batches, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            yield {
+                "input": {
+                    m: jnp.asarray(
+                        rng.standard_normal((batch_size,) + s, np.float32)
+                    )
+                    for m, s in shapes.items()
+                },
+                "label": _labels(rng, batch_size, cfg.model.num_classes),
+            }
+
+    return Recipe(params=params, forward=forward, synth=synth)
+
+
 def build_video(cfg, key, smoke=False):
     """Kinetics-400 finetune assembly (Video/run_class_finetuning.py:406)."""
     from metatransformer_tpu.models import video_classifier
@@ -2066,6 +2131,7 @@ def build(cfg, key, smoke: bool = False) -> Recipe:
         "point": _point_dispatch,
         "pointcloud": _point_dispatch,
         "audio": _audio_builder,
+        "multimodal": build_multimodal,
     }
     if modality not in builders:
         raise SystemExit(f"no recipe builder for modality {modality!r}")
