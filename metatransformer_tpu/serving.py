@@ -85,8 +85,14 @@ class Dispatcher:
     @staticmethod
     def _shape_sig(data: Any) -> Tuple:
         leaves, treedef = jax.tree.flatten(data)
+        # read shape/dtype attributes only — np.asarray would pull a
+        # device-resident payload back to host just to key the group
         return (str(treedef),) + tuple(
-            (l.shape, str(np.asarray(l).dtype)) for l in leaves
+            (
+                tuple(getattr(l, "shape", ())),
+                str(getattr(l, "dtype", type(l).__name__)),
+            )
+            for l in leaves
         )
 
     def _stack_pad(self, datas: List[Any]) -> Tuple[Any, int]:
@@ -100,6 +106,8 @@ class Dispatcher:
 
         def _cat(*xs):
             parts = list(xs) + [xs[-1]] * (bb - n)
+            if len(parts) == 1:
+                return parts[0]
             if any(isinstance(x, jax.Array) for x in xs):
                 return jnp.concatenate([jnp.asarray(x) for x in parts], axis=0)
             return np.concatenate([np.asarray(x) for x in parts], axis=0)
