@@ -37,6 +37,10 @@ class TrainerConfig:
     early_stop_patience: Optional[int] = None
     best_mode: str = "max"  # "max" (acc) | "min" (loss/MAE)
     log_every: int = 50
+    # gradient accumulation (reference accum_iter / update_freq): the
+    # batch splits into accum_steps microbatches scanned inside ONE
+    # jitted step — full-batch mean gradient, per-microbatch memory.
+    accum_steps: int = 1
 
 
 class Trainer:
@@ -67,7 +71,9 @@ class Trainer:
         # jit_step=False supports losses with host-side stages (e.g. the
         # Mask2Former Hungarian matching runs scipy per decoder layer);
         # value_and_grad still works eagerly there.
-        raw_step = step_lib.make_train_step(forward, optimizer, loss_fn)
+        raw_step = step_lib.make_train_step(
+            forward, optimizer, loss_fn, accum_steps=cfg.accum_steps
+        )
         self._step = (
             jax.jit(raw_step, donate_argnums=(0, 2)) if jit_step else raw_step
         )

@@ -217,6 +217,7 @@ def main(argv=None) -> int:
             log_every=max(args.steps_per_epoch // 2, 1),
             early_stop_patience=cfg.train.get("early_stop_patience"),
             best_mode=recipe.best_mode,
+            accum_steps=cfg.train.get("accum_steps", 1),
         ),
         **trainer_kwargs,
     )
