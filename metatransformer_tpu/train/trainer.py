@@ -41,6 +41,13 @@ class TrainerConfig:
     # batch splits into accum_steps microbatches scanned inside ONE
     # jitted step — full-batch mean gradient, per-microbatch memory.
     accum_steps: int = 1
+    # async_ckpt: serialize/IO epoch checkpoints in a background thread
+    # (device snapshot stays synchronous — donated buffers).
+    async_ckpt: bool = False
+    # handle_preemption: SIGTERM/SIGINT -> finish the current step, save
+    # a resumable checkpoint, return from fit cleanly (auto_resume redoes
+    # the interrupted epoch on restart).
+    handle_preemption: bool = False
 
 
 class Trainer:
@@ -89,6 +96,10 @@ class Trainer:
         )
         self.epoch = 0
         self.global_step = 0
+        self._async_ckpt = (
+            ckpt_lib.AsyncCheckpointer() if cfg.async_ckpt else None
+        )
+        self._preempt: Optional[ckpt_lib.GracefulPreemption] = None
 
     @property
     def params(self) -> Dict[str, Any]:
@@ -98,6 +109,8 @@ class Trainer:
         losses, accs, n = [], [], 0
         t0 = time.perf_counter()
         for batch in batches:
+            if self._preempt is not None and self._preempt.triggered:
+                break  # step boundary: params/opt_state are consistent
             rng, sub = jax.random.split(rng)
             self.trainable, self.opt_state, metrics = self._step(
                 self.trainable, self.frozen, self.opt_state, batch, sub
@@ -170,10 +183,55 @@ class Trainer:
 
         best_val = None
         log: Dict[str, float] = {}
+        cm = (
+            ckpt_lib.GracefulPreemption()
+            if self.cfg.handle_preemption
+            else None
+        )
+        if cm is not None:
+            self._preempt = cm.__enter__()
+        try:
+            log = self._fit_loop(train_data, val_data, rng, best_val, log)
+        finally:
+            if cm is not None:
+                cm.__exit__(None, None, None)
+                self._preempt = None
+            if self._async_ckpt is not None:
+                self._async_ckpt.wait()
+        return log
+
+    def _save_epoch(self, epoch: int, is_best: bool) -> None:
+        state = {
+            "trainable": self.trainable,
+            "opt_state": jax.tree_util.tree_leaves(self.opt_state),
+            "global_step": np.int64(self.global_step),
+        }
+        if self.cfg.use_ema:
+            state["ema"] = self.ema_params
+        saver = (
+            self._async_ckpt if self._async_ckpt is not None else ckpt_lib
+        )
+        saver.save_rotating(
+            self.cfg.ckpt_dir, state, epoch,
+            is_best=is_best, max_keep=self.cfg.max_keep,
+        )
+
+    def _fit_loop(self, train_data, val_data, rng, best_val, log):
         for epoch in range(self.epoch, self.cfg.epochs):
             self.epoch = epoch
             rng, sub = jax.random.split(rng)
             train_stats = self.train_epoch(train_data(), sub)
+            if self._preempt is not None and self._preempt.triggered:
+                # save the current (mid-epoch) params labeled with the last
+                # COMPLETED epoch: auto_resume restarts at this epoch, so no
+                # optimizer progress is lost and the epoch counter stays
+                # consistent with "epochs fully seen"
+                self.logger.info(
+                    "preempted during epoch %d: saving resumable state", epoch
+                )
+                if self.cfg.ckpt_dir and epoch > 0:
+                    self._save_epoch(epoch - 1, False)
+                break
             log = dict(train_stats)
             is_best = False
             if val_data is not None and (epoch + 1) % self.cfg.val_freq == 0:
@@ -196,18 +254,5 @@ class Trainer:
                         best_val, is_best = value, True
             self.logger.info("epoch %d: %s", epoch, log)
             if self.cfg.ckpt_dir:
-                state = {
-                    "trainable": self.trainable,
-                    "opt_state": jax.tree_util.tree_leaves(self.opt_state),
-                    "global_step": np.int64(self.global_step),
-                }
-                if self.cfg.use_ema:
-                    state["ema"] = self.ema_params
-                ckpt_lib.save_rotating(
-                    self.cfg.ckpt_dir,
-                    state,
-                    epoch,
-                    is_best=is_best,
-                    max_keep=self.cfg.max_keep,
-                )
+                self._save_epoch(epoch, is_best)
         return log

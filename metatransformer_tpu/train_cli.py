@@ -218,6 +218,8 @@ def main(argv=None) -> int:
             early_stop_patience=cfg.train.get("early_stop_patience"),
             best_mode=recipe.best_mode,
             accum_steps=cfg.train.get("accum_steps", 1),
+            async_ckpt=cfg.train.get("async_ckpt", False),
+            handle_preemption=cfg.train.get("handle_preemption", False),
         ),
         **trainer_kwargs,
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -84,6 +85,88 @@ def save_rotating(
     for old in kept[:-max_keep]:
         os.remove(old)
     return path
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes.
+
+    The device->host snapshot happens synchronously (``jax.device_get``):
+    with ``donate_argnums`` train steps, the previous params buffer is
+    invalidated the moment the next step runs, so the copy cannot be
+    deferred. Serialization + disk IO — the bulk of the save cost for
+    npz — run in a background thread, overlapping the next train epoch
+    (the deepspeed/orbax async-save pattern; the reference blocks on
+    ``torch.save`` at every epoch boundary). One save in flight at a
+    time; errors surface on the next call or ``wait()``.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def save_rotating(self, ckpt_dir: str, state, epoch: int,
+                      is_best: bool = False, max_keep: int = 5) -> None:
+        self.wait()
+        host_state = jax.device_get(state)  # consistent snapshot, sync
+
+        def work():
+            try:
+                save_rotating(ckpt_dir, host_state, epoch,
+                              is_best=is_best, max_keep=max_keep)
+            except BaseException as exc:  # re-raised on wait()
+                self._exc = exc
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
+class GracefulPreemption:
+    """SIGTERM/SIGINT -> a flag the trainer polls at step boundaries.
+
+    TPU pods are preemptible; the reference has no preemption story
+    (SURVEY §5.3 calls it an optional extra). Pattern: install as a
+    context manager around the train loop, poll ``triggered`` each step,
+    save a resumable checkpoint and exit cleanly; ``auto_resume`` picks
+    it up on restart. Handlers are restored on exit; a second signal
+    falls through to the previous handler (double-Ctrl-C still kills).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = tuple(signals) if signals else (
+            _signal.SIGTERM, _signal.SIGINT,
+        )
+        self.triggered = False
+        self._prev: Dict[int, Any] = {}
+
+    def _handler(self, signum, frame):
+        if self.triggered:  # second signal: defer to the original handler
+            prev = self._prev.get(signum)
+            if callable(prev):
+                prev(signum, frame)
+            else:
+                raise KeyboardInterrupt
+        self.triggered = True
+
+    def __enter__(self) -> "GracefulPreemption":
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev.clear()
 
 
 def average_checkpoints(paths) -> Dict[str, Any]:
