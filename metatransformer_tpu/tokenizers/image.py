@@ -65,7 +65,16 @@ def apply(
     cfg: ImageTokenizerConfig,
     mm: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
-    """Raw [B, H, W, C] image -> [B, T, D] tokens."""
+    """Raw [B, H, W, C] image -> [B, T, D] tokens.
+
+    uint8 inputs are accepted and scaled to [0, 1] ON DEVICE: pixel
+    payloads then cross the host->device link at 1 byte/px instead of 4
+    (the ingress-bound serving path — BENCH_SERVING.md ships ~40 MB raw
+    per mixed flush as float32; uint8 wire format cuts that 4x), and the
+    divide fuses into the patch matmul.
+    """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) * (1.0 / 255.0)
     x = patchify(images, cfg.patch_size)
     return jnp.dot(x, params["w"], precision=mm) + params["b"]
 

@@ -68,6 +68,10 @@ def apply(
     cfg: VideoTokenizerConfig,
     mm: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
+    # uint8 frames scale to [0, 1] on device (4x smaller wire payload —
+    # video dominates the mixed-serving flush; see image.apply)
+    if clips.dtype == jnp.uint8:
+        clips = clips.astype(jnp.float32) * (1.0 / 255.0)
     x = tubelets(clips, cfg.tubelet_size, cfg.patch_size)
     return jnp.dot(x, params["w"], precision=mm) + params["b"]
 

@@ -56,10 +56,13 @@ def _graph_raw(r):
 
 
 RAW = {
-    "image": lambda r: r.standard_normal((1, 224, 224, 3)).astype(np.float32),
-    "x-ray": lambda r: r.standard_normal((1, 224, 224, 3)).astype(np.float32),
-    "infrared": lambda r: r.standard_normal((1, 224, 224, 1)).astype(np.float32),
-    "video": lambda r: r.standard_normal((1, 16, 224, 224, 3)).astype(np.float32),
+    # pixel modalities ship uint8 (the real client wire format; scaled to
+    # [0,1] on device by the tokenizers) — 4x less ingress than float32,
+    # and ingress dominated the mixed flush (~40 MB -> ~10 MB)
+    "image": lambda r: r.integers(0, 256, (1, 224, 224, 3), dtype=np.uint8),
+    "x-ray": lambda r: r.integers(0, 256, (1, 224, 224, 3), dtype=np.uint8),
+    "infrared": lambda r: r.integers(0, 256, (1, 224, 224, 1), dtype=np.uint8),
+    "video": lambda r: r.integers(0, 256, (1, 16, 224, 224, 3), dtype=np.uint8),
     "audio": lambda r: r.standard_normal((1, 1024, 128)).astype(np.float32),
     "point": lambda r: (r.standard_normal((1, 1024, 3)) * 0.5).astype(np.float32),
     "time-series": lambda r: r.standard_normal((1, 96, 7)).astype(np.float32),
