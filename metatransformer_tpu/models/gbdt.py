@@ -342,7 +342,13 @@ class GBDT:
                     and it + 1 - best_it >= cfg.early_stopping_rounds
                 ):
                     break
-        self.best_iteration = best_it if self.eval_history else len(self.trees)
+        # LightGBM semantics: prediction truncates to the best eval round
+        # only when early stopping was active
+        self.best_iteration = (
+            best_it
+            if (self.eval_history and cfg.early_stopping_rounds)
+            else len(self.trees)
+        )
         return self
 
     # -- inference -----------------------------------------------------------
