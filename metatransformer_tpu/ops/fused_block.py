@@ -26,6 +26,7 @@ trainable tokenizer below.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -229,6 +230,53 @@ def _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
     return out
 
 
+def _flash_recompute_sublayer(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
+    """Backward-recompute twin with a Pallas flash attention core.
+
+    Same math as :func:`_reference_sublayer` (LN / fused QKV / proj in
+    plain XLA), but softmax(QK^T)V goes through
+    ``ops.flash_attention._flash`` whose VJP is the Pallas
+    FlashAttention-2 backward — so differentiating THIS function never
+    materializes the [B, H, T, T] logits in HBM in either direction.
+    """
+    from metatransformer_tpu.ops import flash_attention as _fa
+
+    b, t, d = x.shape
+    hd = d // num_heads
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = (xn * lns.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x.dtype)
+    qkv = (
+        jnp.dot(xn, wqkv.astype(x.dtype), preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = qkv.reshape(b, t, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, hd]
+    o = _fa._flash(q, k, v, bias, float(hd) ** -0.5).reshape(b, t, d)
+    delta = jnp.dot(
+        o, wproj.astype(x.dtype), preferred_element_type=jnp.float32
+    ) + bproj.astype(jnp.float32)
+    return x + delta.astype(x.dtype)
+
+
+def _pick_bwd_recompute(t: int, hd: int):
+    """Choose the backward-recompute twin for this shape.
+
+    ``MTT_FUSED_BWD=xla|flash`` forces a path (bench override); the
+    default is the XLA twin until the flash twin measures faster on the
+    target geometry (scripts/bench_train_variants.py). CPU tests always
+    keep the XLA twin — interpret-mode Pallas backward is pointlessly
+    slow there.
+    """
+    mode = os.environ.get("MTT_FUSED_BWD", "auto")
+    flash_ok = hd in (32, 64, 128)
+    if mode == "flash" and flash_ok:
+        return _flash_recompute_sublayer
+    return _reference_sublayer
+
+
 def _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
     out = _fused_call(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads)
     return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias)
@@ -236,8 +284,9 @@ def _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
 
 def _fused_bwd(ln_eps, num_heads, res, g):
     x, lns, lnb, wqkv, bqkv, wproj, bproj, bias = res
+    recompute = _pick_bwd_recompute(x.shape[1], x.shape[2] // num_heads)
     _, vjp = jax.vjp(
-        lambda *a: _reference_sublayer(*a, bias, ln_eps, num_heads),
+        lambda *a: recompute(*a, bias, ln_eps, num_heads),
         x, lns, lnb, wqkv, bqkv, wproj, bproj,
     )
     return vjp(g) + (None,)

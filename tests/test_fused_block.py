@@ -72,6 +72,30 @@ def test_fused_grads_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3)
 
 
+def test_fused_flash_bwd_matches_xla_bwd(monkeypatch):
+    """MTT_FUSED_BWD=flash: the Pallas flash-recompute backward must give
+    the same gradients as the materialized-XLA recompute backward."""
+    b, t, d, h = 2, 33, 128, 2  # head_dim 64: flash-eligible
+    x, lns, lnb, wqkv, bqkv, wp, bp = _make(b, t, d, h, key=3)
+    mask = np.ones((b, t), bool)
+    mask[1, 21:] = False
+
+    def loss(x, wqkv, wp):
+        out = fb.attn_sublayer(
+            x, lns, lnb, wqkv, bqkv, wp, bp, mask=jnp.asarray(mask), num_heads=h
+        )
+        return jnp.sum(jnp.where(jnp.asarray(mask)[..., None], out, 0.0) ** 2)
+
+    monkeypatch.setenv("MTT_FUSED_BWD", "xla")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(x, wqkv, wp)
+    monkeypatch.setenv("MTT_FUSED_BWD", "flash")
+    g_flash = jax.grad(loss, argnums=(0, 1, 2))(x, wqkv, wp)
+    for a, b_ in zip(g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3
+        )
+
+
 @pytest.mark.parametrize("bt", [(2, 17), (1, 256), (3, 100)])
 def test_fused_mlp_matches_reference(bt):
     b, t = bt
