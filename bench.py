@@ -184,6 +184,13 @@ def main() -> None:
     l14 = l14_throughput()
     serving = serving_mixed_seq_s()
 
+    # Training-step throughput (same protocol/geometry as
+    # scripts/bench_train.py so the persistent compile cache is shared).
+    from scripts.bench_train import bench_track
+
+    train_frozen = bench_track("frozen", batch=128, iters=8)
+    train_full = bench_track("full", batch=128, iters=8)
+
     print(
         json.dumps(
             {
@@ -201,6 +208,10 @@ def main() -> None:
                 "l14_seq_s": round(l14, 2),
                 # 9-modality mixed serving through one packed program
                 "serving_mixed_seq_s": round(serving, 2),
+                # optimizer-step throughput, frozen-encoder (released
+                # recipes) and full fine-tune tracks (BENCH_TRAIN.md)
+                "train_frozen_seq_s": round(train_frozen, 2),
+                "train_full_ft_seq_s": round(train_full, 2),
             }
         )
     )
