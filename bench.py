@@ -26,8 +26,6 @@ from metatransformer_tpu.core import encoder as enc
 from metatransformer_tpu.models import image_classifier
 from metatransformer_tpu.utils import compile_cache
 
-compile_cache.enable()  # restart-warm executables (24.9s -> 3.5s measured)
-
 CPU_REFERENCE_SEQ_S = 3.41  # torch CPU, see module docstring
 TARGET_SEQ_S = 5.0 * CPU_REFERENCE_SEQ_S
 
@@ -162,6 +160,7 @@ def serving_mixed_seq_s(per_modality=3, rounds=3):
 
 
 def main() -> None:
+    compile_cache.enable()  # restart-warm executables (24.9s -> 3.5s measured)
     cfg = image_classifier.ImageClassifierConfig()  # B16, 1000 classes
     params = image_classifier.init(cfg, jax.random.PRNGKey(0))
 

@@ -268,7 +268,11 @@ class GBDT:
         p = _softmax(margin)
         onehot = np.eye(cfg.num_class)[y.astype(int)]
         g = p - onehot
-        h = np.maximum(p * (1 - p), 1e-6)
+        # LightGBM scales the multiclass hessian by K/(K-1) (multiclass_
+        # objective.hpp `factor_`); without it leaf values come out
+        # slightly larger than LightGBM's for the same reg_lambda.
+        factor = cfg.num_class / max(cfg.num_class - 1, 1)
+        h = np.maximum(factor * p * (1 - p), 1e-6)
         return g, h
 
     def _eval_score(self, y: np.ndarray, margin: np.ndarray) -> float:

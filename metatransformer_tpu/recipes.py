@@ -51,6 +51,11 @@ class Recipe:
     # task-specific --eval protocol: (params, forward, batches) -> metrics
     # dict (e.g. ShapeNetPart ins/cls-mIoU); None -> accuracy/mean-loss.
     eval_metric: Optional[Callable] = None
+    # real-data loader factory: (data_path, batch_size, seed, train) ->
+    # iterable of batches. Set by recipes that ingest raw files on disk
+    # (image: JPEG trees/manifests via data/image_folder.py); the CLI's
+    # --data switches from synth to this.
+    data_loader: Optional[Callable] = None
 
 
 def _identity_loss(out, _label):
@@ -115,7 +120,17 @@ def build_image(cfg, key, smoke=False):
                 "label": _labels(rng, batch_size, cfg.model.num_classes),
             }
 
-    return Recipe(params, forward, synth)
+    def data_loader(data_path, batch_size, seed, train):
+        # raw JPEG/PNG tree or manifest -> uint8 batches; /255 scaling
+        # happens on-device in the tokenizer (tokenizers/image.py:70-76)
+        from metatransformer_tpu.data.image_folder import ImageFolderLoader
+
+        return ImageFolderLoader(
+            data_path, batch_size, img_size=img, train=train, seed=seed,
+            workers=int(cfg.train.get("data_workers", 4)),
+        )
+
+    return Recipe(params, forward, synth, data_loader=data_loader)
 
 
 def _build_image_moe(cfg, key, smoke=False):

@@ -142,6 +142,10 @@ class Dispatcher:
                     m = k.rsplit("#", 1)[0]
                     toks = tokenizers[m][0]._apply(tok_params[m], raws[k])
                     feats = enc.encode(enc_params, toks, ecfg, precision=prec)
+                    # Unmasked mean is correct ONLY because same-raw-shape
+                    # grouping guarantees every token is valid (tokenizers
+                    # emit no internal padding); if a tokenizer ever pads,
+                    # thread a mask like encode_bucketed_pooled does.
                     out[k] = feats.astype(jnp.float32).mean(axis=1)
                 return out
 

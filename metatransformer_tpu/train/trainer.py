@@ -200,7 +200,7 @@ class Trainer:
                 self._async_ckpt.wait()
         return log
 
-    def _save_epoch(self, epoch: int, is_best: bool) -> None:
+    def _ckpt_state(self) -> Dict[str, Any]:
         state = {
             "trainable": self.trainable,
             "opt_state": jax.tree_util.tree_leaves(self.opt_state),
@@ -208,6 +208,10 @@ class Trainer:
         }
         if self.cfg.use_ema:
             state["ema"] = self.ema_params
+        return state
+
+    def _save_epoch(self, epoch: int, is_best: bool) -> None:
+        state = self._ckpt_state()
         saver = (
             self._async_ckpt if self._async_ckpt is not None else ckpt_lib
         )
@@ -222,15 +226,20 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             train_stats = self.train_epoch(train_data(), sub)
             if self._preempt is not None and self._preempt.triggered:
-                # save the current (mid-epoch) params labeled with the last
-                # COMPLETED epoch: auto_resume restarts at this epoch, so no
-                # optimizer progress is lost and the epoch counter stays
-                # consistent with "epochs fully seen"
+                # mid-epoch state goes to a dedicated ckpt_preempt.npz
+                # (always, including epoch 0) so the clean end-of-epoch
+                # rotation files are never overwritten; auto_resume
+                # restarts the interrupted epoch with optimizer moments
+                # and step counter intact
                 self.logger.info(
                     "preempted during epoch %d: saving resumable state", epoch
                 )
-                if self.cfg.ckpt_dir and epoch > 0:
-                    self._save_epoch(epoch - 1, False)
+                if self.cfg.ckpt_dir:
+                    if self._async_ckpt is not None:
+                        self._async_ckpt.wait()
+                    ckpt_lib.save_preempt(
+                        self.cfg.ckpt_dir, self._ckpt_state(), resume_epoch=epoch
+                    )
                 break
             log = dict(train_stats)
             is_best = False

@@ -109,6 +109,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cfg", required=True)
     p.add_argument("--ckpt", default=None, help="converted encoder .npz/.pth")
+    p.add_argument(
+        "--data", default=None, metavar="PATH",
+        help="real dataset path (image recipes: ImageFolder tree of "
+             "JPEG/PNG or a path\\tlabel manifest — raw bytes -> uint8 "
+             "batches -> on-device scaling); omitted = synthetic data",
+    )
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--steps-per-epoch", type=int, default=8)
     p.add_argument("--work-dir", default=None)
@@ -129,6 +135,18 @@ def main(argv=None) -> int:
         "--profile", action="store_true",
         help="print params / FLOPs / throughput for the recipe's model and "
              "exit (PointCloud/examples/profile.py surface)",
+    )
+    p.add_argument(
+        "--wa", nargs=2, type=int, default=None, metavar=("START", "END"),
+        help="with --eval: average the parameters of ckpt_epoch_{START..END} "
+             "before evaluating (AST weight-averaging eval, "
+             "Audio/src/run.py:68-70 --wa/--wa_start/--wa_end)",
+    )
+    p.add_argument(
+        "--ensemble", action="store_true",
+        help="with --eval (classification recipes): average the prediction "
+             "logits of every ckpt_epoch_*.npz in --work-dir "
+             "(AST traintest.py ensemble validate)",
     )
     p.add_argument(
         "--eval-all", action="store_true",
@@ -159,6 +177,31 @@ def main(argv=None) -> int:
 
     epochs = args.epochs or cfg.train.get("epochs", 1)
     batch_size = cfg.train.batch_size
+
+    if args.data:
+        if recipe.data_loader is None:
+            raise SystemExit(
+                f"recipe for {cfg.get('modality', cfg.get('task'))!r} has "
+                "no real-data loader; --data is not supported for it yet"
+            )
+
+        def train_batches():
+            return recipe.data_loader(args.data, batch_size, cfg.seed, True)
+
+        def val_batches():
+            return recipe.data_loader(args.data, batch_size, cfg.seed + 1, False)
+    else:
+
+        def train_batches():
+            return synth(batch_size, args.steps_per_epoch, cfg.seed)
+
+        def val_batches():
+            return synth(batch_size, 2, cfg.seed + 1)
+
+    def eval_batches():
+        if args.data:
+            return val_batches()
+        return synth(batch_size, args.steps_per_epoch, cfg.seed + 1)
 
     if args.profile:
         from metatransformer_tpu.utils import profiler
@@ -241,10 +284,7 @@ def main(argv=None) -> int:
         for path in ckpts:
             state = ckpt_lib.load(path)
             trainer.trainable = state["trainable"]
-            stats = _evaluate(
-                recipe, trainer,
-                synth(batch_size, args.steps_per_epoch, cfg.seed + 1),
-            )
+            stats = _evaluate(recipe, trainer, eval_batches())
             epoch = int(state.get("epoch", -1))
             print(f"eval epoch {epoch}:",
                   {k: round(v, 4) for k, v in stats.items()})
@@ -262,27 +302,61 @@ def main(argv=None) -> int:
     if args.eval:
         from metatransformer_tpu.utils import checkpoint as ckpt_lib
 
-        if args.work_dir:
+        if args.ensemble:
+            # AST ensemble validate: mean of per-checkpoint logits, then
+            # argmax — classification recipes only.
+            import glob as _glob
+            import os as _os
+
+            if not args.work_dir:
+                raise SystemExit("--ensemble needs --work-dir")
+            if not recipe.classification:
+                raise SystemExit("--ensemble supports classification recipes")
+            ckpts = sorted(
+                _glob.glob(_os.path.join(args.work_dir, "ckpt_epoch_*.npz"))
+            )
+            if not ckpts:
+                raise SystemExit(f"no ckpt_epoch_*.npz under {args.work_dir}")
+            batches = list(eval_batches())
+            summed = None
+            for path in ckpts:
+                trainer.trainable = ckpt_lib.load(path)["trainable"]
+                params_k = trainer.params
+                logits = [
+                    np.asarray(recipe.forward(params_k, b["input"], None))
+                    for b in batches
+                ]
+                summed = (
+                    logits if summed is None
+                    else [s + l for s, l in zip(summed, logits)]
+                )
+            labels = np.concatenate([np.asarray(b["label"]) for b in batches])
+            preds = np.concatenate(summed).argmax(-1)
+            acc = float((preds == labels).mean())
+            print("eval:", {"acc": round(acc, 4),
+                            "ensemble_size": len(ckpts)})
+            return 0
+        if args.wa is not None:
+            if not args.work_dir:
+                raise SystemExit("--wa needs --work-dir")
+            state = ckpt_lib.average_epoch_range(
+                args.work_dir, args.wa[0], args.wa[1]
+            )
+            trainer.trainable = state["trainable"]
+        elif args.work_dir:
             resumed = ckpt_lib.auto_resume(args.work_dir)
             if resumed:
                 trainer.trainable = resumed[0]["trainable"]
-        stats = _evaluate(
-            recipe, trainer,
-            synth(batch_size, args.steps_per_epoch, cfg.seed + 1),
-        )
+        stats = _evaluate(recipe, trainer, eval_batches())
         print("eval:", {k: round(v, 4) if isinstance(v, float) else v
                         for k, v in stats.items()})
         return 0
 
     log = trainer.fit(
-        lambda: synth(batch_size, args.steps_per_epoch, cfg.seed),
+        train_batches,
         # the generic val loop assumes class logits; structured tasks
         # (detection/segmentation losses in forward) train-only here
-        val_data=(
-            (lambda: synth(batch_size, 2, cfg.seed + 1))
-            if recipe.classification
-            else None
-        ),
+        val_data=val_batches if recipe.classification else None,
     )
     print("final:", {k: round(v, 4) if isinstance(v, float) else v
                      for k, v in log.items()})

@@ -55,9 +55,19 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save(path: str, state: Dict[str, Any]) -> None:
-    """state: arbitrary pytree dict (params / opt_state / epoch / ema)."""
+    """state: arbitrary pytree dict (params / opt_state / epoch / ema).
+
+    Atomic: writes to a temp file in the same directory then
+    ``os.replace``s into place, so a kill mid-write (preemption, the
+    AsyncCheckpointer daemon thread dying with the process) can never
+    leave a truncated npz at the final path."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **_flatten(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **_flatten(state))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load(path: str) -> Dict[str, Any]:
@@ -206,17 +216,49 @@ def average_epoch_range(
     return average_checkpoints(paths)
 
 
+def save_preempt(ckpt_dir: str, state: Dict[str, Any], resume_epoch: int) -> str:
+    """Mid-epoch preemption checkpoint under a dedicated name.
+
+    Never overwrites the clean end-of-epoch rotation files. ``epoch`` is
+    stored as ``resume_epoch - 1`` so ``auto_resume`` (which restarts at
+    ``epoch + 1``) redoes the interrupted epoch; ``resume_epoch`` is also
+    stored explicitly."""
+    path = os.path.join(ckpt_dir, "ckpt_preempt.npz")
+    state = dict(
+        state,
+        epoch=np.int64(resume_epoch - 1),
+        resume_epoch=np.int64(resume_epoch),
+    )
+    save(path, state)
+    return path
+
+
 def auto_resume(ckpt_dir: str) -> Optional[Tuple[Dict[str, Any], int]]:
-    """Load the newest epoch checkpoint if any: (state, epoch) or None."""
-    latest = os.path.join(ckpt_dir, "ckpt_latest.npz")
-    if os.path.exists(latest):
-        state = load(latest)
+    """Load the newest loadable checkpoint: (state, epoch) or None.
+
+    Preference order: the newest (by mtime) of ckpt_preempt.npz /
+    ckpt_latest.npz, then epoch checkpoints newest-first. A corrupt or
+    truncated file falls through to the next candidate instead of
+    crashing the restart."""
+    named = [
+        os.path.join(ckpt_dir, "ckpt_preempt.npz"),
+        os.path.join(ckpt_dir, "ckpt_latest.npz"),
+    ]
+    candidates = sorted(
+        (p for p in named if os.path.exists(p)),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    candidates += sorted(
+        glob.glob(os.path.join(ckpt_dir, "ckpt_epoch_*.npz")), reverse=True
+    )
+    for path in candidates:
+        try:
+            state = load(path)
+        except Exception:  # truncated/corrupt: fall back to older ckpt
+            continue
         return state, int(state.get("epoch", 0))
-    ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_epoch_*.npz")))
-    if not ckpts:
-        return None
-    state = load(ckpts[-1])
-    return state, int(state.get("epoch", 0))
+    return None
 
 
 def save_orbax(path: str, state: Dict[str, Any]) -> None:

@@ -35,8 +35,6 @@ from metatransformer_tpu.models import image_classifier
 from metatransformer_tpu.train import step as step_lib
 from metatransformer_tpu.utils import compile_cache
 
-compile_cache.enable()  # restart-warm executables across bench runs
-
 
 def bench_track(track: str, batch: int, iters: int) -> float:
     cfg = image_classifier.ImageClassifierConfig()  # B16, 1000 classes
@@ -79,6 +77,7 @@ def bench_track(track: str, batch: int, iters: int) -> float:
 
 
 def main(argv):
+    compile_cache.enable()  # restart-warm executables across bench runs
     batch, iters, json_out = 128, 8, None
     if "--batch" in argv:
         batch = int(argv[argv.index("--batch") + 1])

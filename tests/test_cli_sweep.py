@@ -23,8 +23,9 @@ ALL_YAMLS = sorted(
 
 
 def test_no_orphan_yamls():
-    """The sweep below must cover every shipped recipe."""
-    assert len(ALL_YAMLS) >= 52
+    """The sweep below must cover every shipped recipe — exact count so a
+    new YAML that fails to parametrize (or a deleted recipe) is caught."""
+    assert len(ALL_YAMLS) == 55, sorted(ALL_YAMLS)
 
 
 @pytest.mark.parametrize("name", ALL_YAMLS)

@@ -73,3 +73,43 @@ def test_profile_mode(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "profile:" in out and "params_m" in out and "seq_per_s" in out
+
+
+def test_eval_weight_averaging(tmp_path, capsys):
+    """--eval --wa START END averages parameters over the epoch range before
+    evaluating (AST Audio/src/run.py:68-70 weight-averaging eval)."""
+    wd = str(tmp_path / "run")
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--epochs", "2", "--steps-per-epoch", "2", "--work-dir", wd,
+        "train.batch_size=2",
+    ])
+    assert rc == 0
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--eval", "--wa", "0", "1", "--steps-per-epoch", "2",
+        "--work-dir", wd, "train.batch_size=2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eval:" in out and "acc" in out
+
+
+def test_eval_ensemble(tmp_path, capsys):
+    """--eval --ensemble averages per-checkpoint prediction logits
+    (AST traintest.py ensemble validate)."""
+    wd = str(tmp_path / "run")
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--epochs", "2", "--steps-per-epoch", "2", "--work-dir", wd,
+        "train.batch_size=2",
+    ])
+    assert rc == 0
+    rc = train_cli.main([
+        "--cfg", _cfg("modelnet40_metatransformer.yaml"), "--smoke",
+        "--eval", "--ensemble", "--steps-per-epoch", "2",
+        "--work-dir", wd, "train.batch_size=2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eval:" in out and "ensemble_size" in out
