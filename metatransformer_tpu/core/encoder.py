@@ -35,8 +35,16 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Params = Dict[str, jax.Array]
+
+# Intermediates tagged with checkpoint_name in the XLA block path; the
+# remat="save" policy saves exactly these so the backward pass recomputes
+# nothing but cheap elementwise ops (LN stats, GELU).
+SAVE_NAMES = (
+    "attn_q", "attn_k", "attn_v", "attn_probs", "attn_o", "mlp_hidden",
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +77,18 @@ class EncoderConfig:
     mlp_ratio: float = 4.0
     ln_eps: float = 1e-5  # torch nn.LayerNorm default, as in README demo
     attn_impl: str = "auto"  # "xla" | "flash" | "auto" | "performer"
+    # Rematerialization policy for training (see :func:`encode`):
+    #   False  — no jax.checkpoint; the fused Pallas sublayers' custom VJP
+    #            recomputes each sublayer in backward (lowest memory that
+    #            still serves fast; ~4x forward FLOPs per train step).
+    #   True   — full per-block remat (the reference's `with_cp`).
+    #   "save" — save the matmul intermediates (post-LN, qkv, probs,
+    #            pre-GELU hidden) during forward so backward recomputes
+    #            nothing: 3x forward FLOPs full-FT, ~2x frozen. Costs
+    #            O(depth * B * T * (2D + 3D + H*T + mlp_dim)) activation
+    #            HBM; the train-throughput winner where it fits
+    #            (scripts/bench_train_variants.py).
+    remat: Any = False
     # FAVOR+ options (attn_impl="performer" only; the optional TokenGT
     # path, Graph/metatransformer/modules/performer_pytorch.py:61-151).
     # 0 features -> 2 * head_dim. Redraw = bump the seed (one recompile).
@@ -158,9 +178,18 @@ def attention(
         )
         return out.astype(x.dtype)
 
-    q = jnp.einsum("btd,dhk->bhtk", xc, w[:, 0], precision=mm) + b3[0][:, None]
-    k = jnp.einsum("btd,dhk->bhtk", xc, w[:, 1], precision=mm) + b3[1][:, None]
-    v = jnp.einsum("btd,dhk->bhtk", xc, w[:, 2], precision=mm) + b3[2][:, None]
+    q = checkpoint_name(
+        jnp.einsum("btd,dhk->bhtk", xc, w[:, 0], precision=mm) + b3[0][:, None],
+        "attn_q",
+    )
+    k = checkpoint_name(
+        jnp.einsum("btd,dhk->bhtk", xc, w[:, 1], precision=mm) + b3[1][:, None],
+        "attn_k",
+    )
+    v = checkpoint_name(
+        jnp.einsum("btd,dhk->bhtk", xc, w[:, 2], precision=mm) + b3[2][:, None],
+        "attn_v",
+    )
     if impl == "performer":
         from metatransformer_tpu.ops import performer as _perf
 
@@ -181,7 +210,10 @@ def attention(
             logits = jnp.where(mask[:, None, None, :], logits, jnp.bfloat16(-1e4))
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp((logits - m).astype(jnp.float32)).astype(v.dtype)
-        probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-6)
+        probs = checkpoint_name(
+            e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-6),
+            "attn_probs",
+        )
     else:
         logits = jnp.einsum(
             "bhtk,bhsk->bhts", q * scale, k,
@@ -191,8 +223,13 @@ def attention(
             logits = jnp.where(
                 mask[:, None, None, :], logits, jnp.finfo(jnp.float32).min
             )
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    o = jnp.einsum("bhts,bhsk->bhtk", probs, v, precision=mm)
+        probs = checkpoint_name(
+            jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype),
+            "attn_probs",
+        )
+    o = checkpoint_name(
+        jnp.einsum("bhts,bhsk->bhtk", probs, v, precision=mm), "attn_o"
+    )
     proj = p["proj_w"].astype(cd).reshape(h, hd, d)
     out = jnp.einsum("bhtk,hkd->btd", o, proj, precision=mm) + p["proj_b"].astype(cd)
     return out.astype(x.dtype)
@@ -229,9 +266,10 @@ def _resolve_impl(cfg: EncoderConfig, seq_len: int, precision: Precision) -> str
 def mlp(x: jax.Array, p: Params, precision: Precision) -> jax.Array:
     """timm Mlp: Linear -> exact GELU -> Linear."""
     cd = precision.compute_dtype
-    h = (
+    h = checkpoint_name(
         jnp.dot(x.astype(cd), p["fc1_w"].astype(cd), precision=precision.mm)
-        + p["fc1_b"].astype(cd)
+        + p["fc1_b"].astype(cd),
+        "mlp_hidden",
     )
     # GELU in fp32 for the parity policy; in the compute dtype for bf16
     # serving (erf in bf16 costs < 1e-2 output drift, measured in tests).
@@ -338,7 +376,7 @@ def encode(
     pos: Optional[jax.Array] = None,
     pos_each_block: bool = False,
     precision: Precision = FP32,
-    remat: bool = False,
+    remat: Any = None,
 ) -> jax.Array:
     """Run the full encoder as one ``lax.scan`` over stacked layer params.
 
@@ -350,7 +388,19 @@ def encode(
       pos_each_block: if True, adds ``pos`` at the *input of every* block
         (point-cloud backbone semantics, ``metatransformer.py:161-163``);
         if False and ``pos`` is given, adds it once before the stack.
+      remat: overrides ``cfg.remat`` when not None (see EncoderConfig).
     """
+    if remat is None:
+        remat = cfg.remat
+    if remat == "save":
+        # The fused Pallas sublayers recompute their backward; the save
+        # policy only pays off on the XLA block path where the tagged
+        # intermediates exist. Long sequences keep flash attention (its
+        # custom VJP stores q/k/v/o/lse — already O(T) memory).
+        impl = _resolve_impl(cfg, x.shape[1], precision)
+        if impl == "fused":
+            impl = "xla"
+        cfg = dataclasses.replace(cfg, attn_impl=impl)
     # Keep the residual stream in the compute dtype: casting once here
     # (instead of per-sublayer fp32<->bf16 roundtrips) halves VPU traffic
     # and activation memory in bf16 serving. LN still accumulates fp32.
@@ -376,7 +426,16 @@ def encode(
         h = block(h, layer_params, cfg, mask, precision)
         return h, None
 
-    if remat:
+    if remat == "save":
+        # Save-everything-expensive policy: forward stores the tagged
+        # matmul outputs (q/k/v, probs, attn out, MLP hidden) so the
+        # backward recomputes only elementwise ops. 3x forward FLOPs for
+        # a full-FT step vs 4x under the fused sublayers' recompute VJP.
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(*SAVE_NAMES),
+        )
+    elif remat:
         # Gradient checkpointing (the reference's `with_cp`, base/vit.py:
         # 332-333): recompute each block in the backward pass — activation
         # memory drops from O(depth) to O(1) blocks.

@@ -422,54 +422,80 @@ def _bce_logits(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def _host_lsa(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """[B, Q, G] cost + [B, G] validity -> [B, G] query index (-1 invalid)."""
+    from scipy.optimize import linear_sum_assignment
+
+    b, _, g = cost.shape
+    out = np.full((b, g), -1, np.int32)
+    for i in range(b):
+        vi = np.flatnonzero(valid[i])
+        if vi.size == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[i][:, vi])
+        out[i, vi[cols]] = rows.astype(np.int32)
+    return out
+
+
 def match(
     cls_logits: jax.Array,  # [B, Q, C+1]
     mask_logits: jax.Array,  # [B, Q, h, w]
-    gt_labels: np.ndarray,  # [B, G] int (padded)
-    gt_masks: np.ndarray,  # [B, G, h, w] {0,1}
-    gt_valid: np.ndarray,  # [B, G] bool
+    gt_labels: jax.Array,  # [B, G] int (padded)
+    gt_masks: jax.Array,  # [B, G, h, w] {0,1}
+    gt_valid: jax.Array,  # [B, G] bool
     cfg: Mask2FormerConfig,
     rng: jax.Array,
     num_match_points: int = 0,
-) -> np.ndarray:
+) -> jax.Array:
     """Hungarian assignment per image -> query index per gt slot [B, G].
 
     Costs (MaskHungarianAssigner: cls 2.0 + BCE-mask 5.0 + dice 5.0) on
     ``num_match_points`` shared random points (reference
-    ``_get_target_single``, mask2former_head.py:230-248). Host-side.
+    ``_get_target_single``, mask2former_head.py:230-248). Fully jittable:
+    the [B, Q, G] cost is built batched on device (the mean-BCE cost
+    decomposes into a per-query term minus ``x @ y^T / P``, so no
+    [B, Q, G, P] tensor is ever materialized) and only the tiny
+    linear-sum-assignment runs on host inside ``jax.pure_callback`` —
+    the whole train step stays ONE XLA program.
     """
     b, q = cls_logits.shape[:2]
     g = gt_labels.shape[1]
     p = num_match_points or min(cfg.num_points, 2048)
     coords = jax.random.uniform(rng, (b, 1, p, 2))
-    pred_pts = np.asarray(
-        point_sample(
-            mask_logits.reshape(b * q, *mask_logits.shape[2:]),
-            jnp.broadcast_to(coords, (b, q, p, 2)).reshape(b * q, p, 2),
-        )
-    ).reshape(b, q, p)
-    gt_pts = np.asarray(
-        point_sample(
-            jnp.asarray(gt_masks, jnp.float32).reshape(b * g, *gt_masks.shape[2:]),
-            jnp.broadcast_to(coords, (b, g, p, 2)).reshape(b * g, p, 2),
-        )
-    ).reshape(b, g, p)
-    cls_np = np.asarray(jax.nn.softmax(cls_logits, -1))
+    pred_pts = point_sample(
+        mask_logits.reshape(b * q, *mask_logits.shape[2:]),
+        jnp.broadcast_to(coords, (b, q, p, 2)).reshape(b * q, p, 2),
+    ).reshape(b, q, p).astype(jnp.float32)
+    gt_pts = point_sample(
+        jnp.asarray(gt_masks, jnp.float32).reshape(b * g, *gt_masks.shape[2:]),
+        jnp.broadcast_to(coords, (b, g, p, 2)).reshape(b * g, p, 2),
+    ).reshape(b, g, p).astype(jnp.float32)
 
-    assign = np.full((b, g), -1, np.int64)
-    for i in range(b):
-        nv = int(gt_valid[i].sum())
-        if nv == 0:
-            continue
-        c_cls = -cls_np[i][:, gt_labels[i, :nv]]  # [Q, nv]
-        pm = jnp.asarray(pred_pts[i])
-        gm = jnp.asarray(gt_pts[i, :nv])
-        c_mask = np.asarray(_bce_logits(pm[:, None, :], gm[None]).mean(-1))
-        c_dice = np.asarray(matching.dice_cost(pm, gm))
-        cost = cfg.cls_weight * c_cls + cfg.mask_weight * c_mask + cfg.dice_weight * c_dice
-        rows, cols = matching.hungarian_assign(cost)
-        assign[i, cols] = rows
-    return assign
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), -1)
+    c_cls = -jnp.take_along_axis(
+        probs, jnp.broadcast_to(gt_labels[:, None, :], (b, q, g)), axis=2
+    )
+    # mean-P BCE(x, y) = mean_p[max(x,0) + log1p(e^-|x|)] - (x @ y^T)/P
+    per_q = jnp.mean(
+        jnp.maximum(pred_pts, 0) + jnp.log1p(jnp.exp(-jnp.abs(pred_pts))), -1
+    )
+    c_mask = per_q[:, :, None] - jnp.einsum("bqp,bgp->bqg", pred_pts, gt_pts) / p
+    sp = jax.nn.sigmoid(pred_pts)
+    inter = 2.0 * jnp.einsum("bqp,bgp->bqg", sp, gt_pts)
+    denom = jnp.sum(sp, -1)[:, :, None] + jnp.sum(gt_pts, -1)[:, None, :]
+    c_dice = 1.0 - (inter + 1.0) / (denom + 1.0)
+    cost = (
+        cfg.cls_weight * c_cls
+        + cfg.mask_weight * c_mask
+        + cfg.dice_weight * c_dice
+    )
+    return jax.pure_callback(
+        _host_lsa,
+        jax.ShapeDtypeStruct((b, g), jnp.int32),
+        cost,
+        jnp.asarray(gt_valid),
+        vmap_method="sequential",
+    )
 
 
 def loss_single(
@@ -550,7 +576,8 @@ def loss(
     num_points: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Deep supervision over all layers (reference loss(), :361-402).
-    Matching runs on host per layer; the summed loss is differentiable."""
+    Fully jittable: per-layer matching goes through ``match`` (device-side
+    costs + a pure_callback LSA); the summed loss is differentiable."""
     n_layers = all_cls.shape[0]
     total = 0.0
     logs: Dict[str, jax.Array] = {}
@@ -562,12 +589,12 @@ def loss(
         assign = match(
             jax.lax.stop_gradient(all_cls[li]),
             jax.lax.stop_gradient(all_masks[li]),
-            np.asarray(gt_labels), np.asarray(gt_masks), np.asarray(gt_valid),
+            gt_labels_j, gt_masks_j, gt_valid_j,
             cfg, k1, num_match_points=num_points,
         )
         parts = loss_single(
             all_cls[li], all_masks[li], gt_labels_j, gt_masks_j, gt_valid_j,
-            jnp.asarray(assign), cfg, k2, num_points=num_points,
+            assign, cfg, k2, num_points=num_points,
         )
         for k, v in parts.items():
             tag = k if li == n_layers - 1 else f"d{li}.{k}"

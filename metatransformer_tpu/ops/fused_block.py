@@ -17,10 +17,15 @@ T=197 the softmax/LayerNorm HBM roundtrips still cost ~30% of step time
 Sequence lengths are padded to a 128 multiple; padded keys are masked via
 an additive fp32 bias row, padded query rows are sliced off afterwards.
 
-Backward: custom VJP that recomputes the sublayer with plain XLA ops —
-at these lengths the O(T^2) logits are cheap, and the encoder is frozen
-in every released recipe so the backward only carries dx to the
-trainable tokenizer below.
+Backward: custom VJP whose default path is a second Pallas kernel
+(``_bwd_kernel``) that recomputes LN/QKV/softmax in VMEM and produces
+dx plus the dqkv/xn/o slabs for the (XLA, MXU-efficient) weight-grad
+matmuls — the [T, T] attention tensors never touch HBM in either
+direction. Measured on v5e at ViT-B16/T=197/batch 128 (round 5,
+scripts/bench_train_variants.py): frozen-encoder train 799 -> 1233
+seq/s, full fine-tune 650 -> 944 seq/s vs the XLA recompute twin,
+which remains the fallback for unsupported shapes
+(``MTT_FUSED_BWD=xla|flash|pallas`` overrides).
 """
 
 from __future__ import annotations
@@ -264,17 +269,268 @@ def _flash_recompute_sublayer(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_ep
 def _pick_bwd_recompute(t: int, hd: int):
     """Choose the backward-recompute twin for this shape.
 
-    ``MTT_FUSED_BWD=xla|flash`` forces a path (bench override); the
-    default is the XLA twin until the flash twin measures faster on the
-    target geometry (scripts/bench_train_variants.py). CPU tests always
-    keep the XLA twin — interpret-mode Pallas backward is pointlessly
-    slow there.
+    ``MTT_FUSED_BWD=xla|flash|pallas`` forces a path (bench override);
+    the measured default is the Pallas backward kernel (see
+    ``_bwd_kernel`` — round-5 sweep: full-FT 650 -> see BENCH_TRAIN.md)
+    with the XLA twin as the fallback for unsupported shapes.
     """
     mode = os.environ.get("MTT_FUSED_BWD", "auto")
     flash_ok = hd in (32, 64, 128)
     if mode == "flash" and flash_ok:
         return _flash_recompute_sublayer
     return _reference_sublayer
+
+
+# --------------------------------------------------------------------------
+# Pallas backward kernel: the whole sublayer backward in VMEM.
+#
+# The recompute twins pay an XLA forward (materializing fp32 [T, T]
+# logits/probs in HBM) plus an XLA backward that round-trips those same
+# tensors again — measured ~40% of full-FT step time at T=197, B=128
+# (scripts: /tmp decomposition, round 5). This kernel recomputes
+# LN/QKV/softmax in VMEM (like the forward kernel) and emits, per
+# program: dx (residual + LN backward), dqkv / xn / o slabs for the
+# weight-gradient matmuls (done outside by XLA — big, MXU-efficient),
+# and accumulated dgamma/dbeta. The [T, T] attention tensors never
+# touch HBM in either direction.
+# --------------------------------------------------------------------------
+
+# p, dp, ds fp32 tiles per head live simultaneously; keep n*H*T^2 under
+# half the forward budget for headroom (dqkv f32 slab + weight tiles).
+_BWD_VMEM_LOGIT_ELEMS = 1_250_000
+
+
+def _pick_bwd_n_per(batch: int, seq_len: int, num_heads: int) -> int:
+    for n in (2, 1):
+        if batch % n == 0 and n * num_heads * seq_len * seq_len <= _BWD_VMEM_LOGIT_ELEMS:
+            return n
+    return 0
+
+
+def _bwd_kernel(
+    x_ref,
+    g_ref,
+    lns_ref,
+    lnb_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wproj_ref,
+    bias_ref,
+    dx_ref,
+    dqkv_ref,
+    xn_ref,
+    o_ref,
+    dlns_ref,
+    dlnb_ref,
+    *,
+    num_heads: int,
+    head_dim: int,
+    ln_eps: float,
+    scale: float,
+):
+    n, t, d = x_ref.shape
+    x = x_ref[:].reshape(n * t, d)
+    g = g_ref[:].reshape(n * t, d)
+
+    # --- recompute LN (fp32) + QKV, exactly like the forward kernel
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mean) * rstd
+    gamma = lns_ref[0].astype(jnp.float32)
+    xn_f = xhat * gamma + lnb_ref[0].astype(jnp.float32)
+    xn = xn_f.astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)  # [N*T, 3D]
+
+    # --- do = g @ Wproj^T (dproj_w/dproj_b happen outside)
+    do = jax.lax.dot_general(
+        g, wproj_ref[:].astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [N*T, D]
+
+    # --- attention backward per sample/head; all [T, T] tiles in VMEM
+    s_dq, s_dk, s_dv, s_o = [], [], [], []
+    for s_i in range(n):  # static unroll; N <= 2
+        bias_row = bias_ref[s_i]  # [1, T] fp32 additive key mask
+        sl = qkv[s_i * t : (s_i + 1) * t]
+        do_s = do[s_i * t : (s_i + 1) * t]
+        dqs, dks, dvs, os_ = [], [], [], []
+        for h in range(num_heads):  # static unroll
+            lo = h * head_dim
+            q = sl[:, lo : lo + head_dim]
+            k = sl[:, d + lo : d + lo + head_dim]
+            v = sl[:, 2 * d + lo : 2 * d + lo + head_dim]
+            do_h = do_s[:, lo : lo + head_dim]
+            s = (
+                jax.lax.dot_general(
+                    (q.astype(jnp.float32) * scale).astype(x.dtype), k,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias_row
+            )  # [T, T] fp32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [T, T]
+            pb = p.astype(x.dtype)
+            os_.append(
+                jax.lax.dot_general(
+                    pb, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+            dv = jax.lax.dot_general(
+                pb, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, hd] = p^T do
+            dp = jax.lax.dot_general(
+                do_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, T]
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = ds.astype(x.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqs.append(dq.astype(x.dtype))
+            dks.append(dk.astype(x.dtype))
+            dvs.append(dv.astype(x.dtype))
+        s_dq.append(jnp.concatenate(dqs, axis=-1))
+        s_dk.append(jnp.concatenate(dks, axis=-1))
+        s_dv.append(jnp.concatenate(dvs, axis=-1))
+        s_o.append(jnp.concatenate(os_, axis=-1))
+    dqkv = jnp.concatenate(
+        [
+            jnp.concatenate(s_dq, axis=0),
+            jnp.concatenate(s_dk, axis=0),
+            jnp.concatenate(s_dv, axis=0),
+        ],
+        axis=-1,
+    )  # [N*T, 3D], (q|k|v) x heads column layout of param_shapes
+    o = jnp.concatenate(s_o, axis=0)  # [N*T, D]
+
+    # --- dxn = dqkv @ Wqkv^T, then LayerNorm backward (fp32)
+    dxn = jax.lax.dot_general(
+        dqkv, wqkv_ref[:].astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxhat = dxn * gamma
+    mr1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mr2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - mr1 - xhat * mr2)
+
+    dx_ref[:] = (g.astype(jnp.float32) + dx_ln).astype(x.dtype).reshape(n, t, d)
+    dqkv_ref[:] = dqkv.reshape(n, t, 3 * d)
+    xn_ref[:] = xn.reshape(n, t, d)
+    o_ref[:] = o.reshape(n, t, d)
+
+    # --- dgamma / dbeta accumulated across the sequential grid
+    part_g = jnp.sum(dxn * xhat, axis=0, keepdims=True)  # [1, D] fp32
+    part_b = jnp.sum(dxn, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    dlns_ref[:] += part_g
+    dlnb_ref[:] += part_b
+
+
+def _bwd_via_kernel(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, g,
+                    ln_eps, num_heads):
+    """Full sublayer VJP: Pallas kernel for dx/dqkv/LN grads + XLA
+    weight-gradient matmuls. Returns cotangents for the 7 diff args."""
+    b, t, d = x.shape
+    hd = d // num_heads
+    n_per = _pick_bwd_n_per(b, t, num_heads)
+    assert n_per > 0, (b, t, num_heads)
+    interpret = jax.default_backend() != "tpu"
+    full = lambda i: (0, 0)
+    dx, dqkv, xn, o, dlns, dlnb = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            num_heads=num_heads,
+            head_dim=hd,
+            ln_eps=float(ln_eps),
+            scale=float(hd) ** -0.5,
+        ),
+        grid=(b // n_per,),
+        in_specs=[
+            pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, t, 3 * d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_per, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, d), x.dtype),
+            jax.ShapeDtypeStruct((b, t, 3 * d), x.dtype),
+            jax.ShapeDtypeStruct((b, t, d), x.dtype),
+            jax.ShapeDtypeStruct((b, t, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        # The slab matmuls + per-head fp32 tiles + double-buffered weight
+        # blocks exceed Mosaic's default 16M scoped-vmem budget at
+        # (T=197, D=768, H=12): measured 24.0M at n_per=1. v5e has 128M
+        # VMEM; give the kernel half.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        g,
+        lns.reshape(1, d),
+        lnb.reshape(1, d),
+        wqkv,
+        bqkv.reshape(1, 3 * d),
+        wproj,
+        bias[:, None, :],
+    )
+    # Weight gradients: big row-contracted matmuls — MXU-efficient in
+    # XLA, and DCE'd entirely in frozen-encoder recipes.
+    g2 = g.reshape(b * t, d)
+    dwproj = jax.lax.dot_general(
+        o.reshape(b * t, d), g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wproj.dtype)
+    dbproj = jnp.sum(g2.astype(jnp.float32), axis=0).astype(bproj.dtype)
+    dqkv2 = dqkv.reshape(b * t, 3 * d)
+    dwqkv = jax.lax.dot_general(
+        xn.reshape(b * t, d), dqkv2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dqkv2.astype(jnp.float32), axis=0).astype(bqkv.dtype)
+    return (
+        dx,
+        dlns.reshape(d).astype(lns.dtype),
+        dlnb.reshape(d).astype(lnb.dtype),
+        dwqkv,
+        dbqkv,
+        dwproj,
+        dbproj,
+    )
 
 
 def _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
@@ -284,6 +540,14 @@ def _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, ln_eps, num_heads):
 
 def _fused_bwd(ln_eps, num_heads, res, g):
     x, lns, lnb, wqkv, bqkv, wproj, bproj, bias = res
+    mode = os.environ.get("MTT_FUSED_BWD", "auto")
+    if (
+        mode in ("auto", "pallas")
+        and _pick_bwd_n_per(x.shape[0], x.shape[1], num_heads) > 0
+    ):
+        return _bwd_via_kernel(
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, g, ln_eps, num_heads
+        ) + (None,)
     recompute = _pick_bwd_recompute(x.shape[1], x.shape[2] // num_heads)
     _, vjp = jax.vjp(
         lambda *a: recompute(*a, bias, ln_eps, num_heads),

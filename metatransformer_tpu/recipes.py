@@ -1127,7 +1127,7 @@ def build_mask2former(cfg, key, smoke=False):
 
     return Recipe(
         params, forward, synth, loss_fn=_identity_loss,
-        classification=False, jit_step=False, best_mode="min",
+        classification=False, best_mode="min",
     )
 
 

@@ -36,18 +36,25 @@ from metatransformer_tpu.utils import compile_cache
 compile_cache.enable()
 
 VARIANTS = {
-    "fused_xla": ("auto", "xla"),
-    "fused_flash": ("auto", "flash"),
-    "flash": ("flash", "xla"),
-    "xla": ("xla", "xla"),
+    # (attn_impl, MTT_FUSED_BWD, encoder remat policy)
+    # Pallas backward kernel for the attn sublayer (the default):
+    # [T,T] tensors never touch HBM in either direction.
+    "fused_pallas": ("auto", "pallas", False),
+    "fused_xla": ("auto", "xla", False),
+    "fused_flash": ("auto", "flash", False),
+    "flash": ("flash", "xla", False),
+    "xla": ("xla", "xla", False),
+    # forward saves q/k/v/probs/attn-out/mlp-hidden; backward recomputes
+    # nothing (core/encoder.py SAVE_NAMES policy)
+    "save": ("auto", "xla", "save"),
 }
 
 
 def bench(variant: str, track: str, batch: int, iters: int) -> float:
-    attn_impl, bwd = VARIANTS[variant]
+    attn_impl, bwd, remat = VARIANTS[variant]
     os.environ["MTT_FUSED_BWD"] = bwd
     cfg = image_classifier.ImageClassifierConfig(
-        encoder=dataclasses.replace(enc.BASE, attn_impl=attn_impl)
+        encoder=dataclasses.replace(enc.BASE, attn_impl=attn_impl, remat=remat)
     )
     params = image_classifier.init(cfg, jax.random.PRNGKey(0))
     frozen_keys = step_lib.FROZEN_KEYS if track == "frozen" else ()
@@ -88,13 +95,16 @@ def bench(variant: str, track: str, batch: int, iters: int) -> float:
 def main(argv):
     batch, iters = 128, 8
     tracks = ("frozen", "full")
+    variants = tuple(VARIANTS)
     if "--batch" in argv:
         batch = int(argv[argv.index("--batch") + 1])
     if "--iters" in argv:
         iters = int(argv[argv.index("--iters") + 1])
     if "--tracks" in argv:
         tracks = tuple(argv[argv.index("--tracks") + 1].split(","))
-    for variant in VARIANTS:
+    if "--variants" in argv:
+        variants = tuple(argv[argv.index("--variants") + 1].split(","))
+    for variant in variants:
         for track in tracks:
             try:
                 seq_s = bench(variant, track, batch, iters)

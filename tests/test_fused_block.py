@@ -96,6 +96,77 @@ def test_fused_flash_bwd_matches_xla_bwd(monkeypatch):
         )
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_pallas_bwd_matches_xla_twin(masked):
+    """The Pallas backward kernel (default path) must produce the same
+    cotangents — all seven — as the XLA recompute twin's VJP."""
+    b, t, d, h = 4, 37, 128, 4
+    x, lns, lnb, wqkv, bqkv, wp, bp = _make(b, t, d, h, key=9)
+    if masked:
+        keep = np.ones((b, t), bool)
+        keep[0, 30:] = False
+        keep[2, 11:] = False
+        bias = jnp.where(jnp.asarray(keep), 0.0, fb.NEG_INF).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, t), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(10), (b, t, d), jnp.float32)
+
+    got = fb._bwd_via_kernel(
+        x, lns, lnb, wqkv, bqkv, wp, bp, bias, g, 1e-5, h
+    )
+    _, vjp = jax.vjp(
+        lambda *a: fb._reference_sublayer(*a, bias, 1e-5, h),
+        x, lns, lnb, wqkv, bqkv, wp, bp,
+    )
+    want = vjp(g)
+    names = ["dx", "dlns", "dlnb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    for nm, a, b_ in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
+
+
+def test_fused_pallas_bwd_bf16():
+    """bf16 serving dtype: kernel backward tracks the twin within bf16
+    resolution and cotangent dtypes match the primals."""
+    b, t, d, h = 2, 33, 128, 2
+    x, lns, lnb, wqkv, bqkv, wp, bp = _make(b, t, d, h, key=11, dtype=jnp.bfloat16)
+    wqkv, bqkv, wp, bp = (a.astype(jnp.bfloat16) for a in (wqkv, bqkv, wp, bp))
+    bias = jnp.zeros((b, t), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(12), (b, t, d)).astype(jnp.bfloat16)
+    got = fb._bwd_via_kernel(x, lns, lnb, wqkv, bqkv, wp, bp, bias, g, 1e-5, h)
+    _, vjp = jax.vjp(
+        lambda *a: fb._reference_sublayer(*a, bias, 1e-5, h),
+        x, lns, lnb, wqkv, bqkv, wp, bp,
+    )
+    want = vjp(g)
+    for a, b_, p in zip(got, want, (x, lns, lnb, wqkv, bqkv, wp, bp)):
+        assert a.dtype == p.dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=0.1, atol=0.1,
+        )
+
+
+def test_encoder_remat_save_grads_match():
+    """EncoderConfig.remat='save' (selective-save policy) must not change
+    gradients vs remat=False on the XLA path."""
+    import dataclasses
+
+    cfg0 = encoder.EncoderConfig(dim=128, depth=3, num_heads=4, attn_impl="xla")
+    cfgs = dataclasses.replace(cfg0, remat="save")
+    params = encoder.init(cfg0, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 128))
+
+    def loss(p, c):
+        return jnp.sum(encoder.encode(p, x, c) ** 2)
+
+    g0 = jax.grad(loss)(params, cfg0)
+    g1 = jax.grad(loss)(params, cfgs)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
 @pytest.mark.parametrize("bt", [(2, 17), (1, 256), (3, 100)])
 def test_fused_mlp_matches_reference(bt):
     b, t = bt
