@@ -25,6 +25,27 @@ if os.environ.get("MTX_TEST_PLATFORM", "cpu") == "cpu":
 import numpy as np
 import pytest
 
+# The <10-min verification tier (`pytest -m fast`): encoder + converter
+# parity, the Data2Seq facade, serving, the fused kernels, raw-media
+# ingestion and the torch-twin training-equivalence check — the
+# load-bearing surfaces. The full suite stays the release gate.
+FAST_MODULES = {
+    "test_encoder_parity",
+    "test_convert_extra",
+    "test_pipeline_facade",
+    "test_serving",
+    "test_fused_block",
+    "test_image_folder",
+    "test_train_equivalence",
+    "test_demo",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():
