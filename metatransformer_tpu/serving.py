@@ -42,6 +42,15 @@ class ServingConfig:
     # bucketed path remains the mode for pool="none" full sequences
     # and for multimodal fusion (``pipeline.fuse_and_encode``).
     fused: bool = False
+    # Ceiling on distinct packed-flush executables. The packed program
+    # retraces per flush *composition* (the multiset of (modality,
+    # raw-shape, batch-bucket) groups); compositions are canonicalized
+    # so arrival order never forces a retrace, but a shifting request
+    # mix can still grow the set. Once the ceiling is reached, a flush
+    # with a NEW composition falls back to the bucketed per-group path
+    # (whose executable set is bounded by the bucket ladder) instead of
+    # compiling — the daemon can never compile-storm.
+    max_packed_programs: int = 16
 
 
 @dataclasses.dataclass
@@ -81,6 +90,12 @@ class Dispatcher:
         # readback), excluding host-side grouping/stacking/queueing —
         # the serve-side split of end-to-end latency.
         self.dispatch_s: float = 0.0
+        # canonical packed-flush compositions seen so far; its size is
+        # the packed-path retrace count (one compile per member).
+        self._packed_comps: set = set()
+        # flushes served via the bucketed fallback because compiling a
+        # new packed composition would exceed cfg.max_packed_programs.
+        self.packed_fallbacks: int = 0
 
     @staticmethod
     def _shape_sig(data: Any) -> Tuple:
@@ -139,7 +154,7 @@ class Dispatcher:
             def packed(tok_params, enc_params, raws):
                 out = {}
                 for k in raws:
-                    m = k.rsplit("#", 1)[0]
+                    m = k.split("/", 1)[0]  # key = modality/bucket/occurrence
                     toks = tokenizers[m][0]._apply(tok_params[m], raws[k])
                     feats = enc.encode(enc_params, toks, ecfg, precision=prec)
                     # Unmasked mean is correct ONLY because same-raw-shape
@@ -153,25 +168,45 @@ class Dispatcher:
         return self._packed
 
     def _serve_fused(self, requests, by_sig) -> List[np.ndarray]:
-        out: List[Optional[np.ndarray]] = [None] * len(requests)
+        # Plan first (no stacking yet): canonical group keys are
+        # (modality, batch-bucket, occurrence index) under a sorted
+        # signature walk, so the packed program's jit signature depends
+        # only on the MULTISET of (modality, raw-shape, bucket) groups
+        # — the same mix arriving in any order reuses one executable.
         cap = max(self.cfg.batch_buckets)
+        plan: List[Tuple[str, Tuple, int, List[int]]] = []
+        occ: Dict[Tuple[str, int], int] = {}
+        for sig, idxs in sorted(by_sig.items(), key=lambda kv: kv[0]):
+            modality = sig[0]
+            for k in range(0, len(idxs), cap):
+                chunk = idxs[k : k + cap]
+                bb = batch_bucket(len(chunk), self.cfg.batch_buckets)
+                g = occ.get((modality, bb), 0)
+                occ[(modality, bb)] = g + 1
+                plan.append((f"{modality}/{bb}/{g}", sig, bb, chunk))
+        comp = tuple((key, sig, bb) for key, sig, bb, _ in plan)
+        if comp not in self._packed_comps:
+            if len(self._packed_comps) >= self.cfg.max_packed_programs:
+                # executable-count ceiling: serve this flush through the
+                # bucketed per-group path rather than compile a new
+                # packed program for an unseen composition.
+                self.packed_fallbacks += 1
+                return self._serve_bucketed(requests, by_sig)
+            self._packed_comps.add(comp)
+
         raws: Dict[str, Any] = {}
         rows: Dict[str, List[int]] = {}
         tok_params: Dict[str, Any] = {}
-        for sig, idxs in sorted(by_sig.items(), key=lambda kv: kv[0]):
+        for key, sig, bb, chunk in plan:
             modality = sig[0]
             tok_params[modality] = self.tokenizers[modality][1]
-            for j, k in enumerate(range(0, len(idxs), cap)):
-                chunk = idxs[k : k + cap]
-                stacked, bb = self._stack_pad(
-                    [requests[i].data for i in chunk]
-                )
-                self.tok_stats[(modality, bb)] = (
-                    self.tok_stats.get((modality, bb), 0) + 1
-                )
-                key = f"{modality}#{len(rows)}"
-                raws[key] = stacked
-                rows[key] = chunk
+            stacked, _ = self._stack_pad([requests[i].data for i in chunk])
+            self.tok_stats[(modality, bb)] = (
+                self.tok_stats.get((modality, bb), 0) + 1
+            )
+            raws[key] = stacked
+            rows[key] = chunk
+        out: List[Optional[np.ndarray]] = [None] * len(requests)
         t0 = time.perf_counter()
         pooled = self._packed_fn()(tok_params, self.encoder_params, raws)
         pooled = {k: np.asarray(v) for k, v in pooled.items()}
@@ -181,10 +216,14 @@ class Dispatcher:
                 out[i] = pooled[key][row]
         return out  # type: ignore[return-value]
 
+    @property
+    def packed_retraces(self) -> int:
+        """Distinct packed-flush compositions compiled so far."""
+        return len(self._packed_comps)
+
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """-> per-request pooled features (cfg.pool='mean') or full
         [T_i, D] sequences, in input order."""
-        tokens: List[Optional[np.ndarray]] = [None] * len(requests)
         by_sig: Dict[Tuple, List[int]] = {}
         for i, r in enumerate(requests):
             if r.modality not in self.tokenizers:
@@ -194,7 +233,14 @@ class Dispatcher:
             ).append(i)
         if self.cfg.fused and self.cfg.pool == "mean":
             return self._serve_fused(requests, by_sig)
+        return self._serve_bucketed(requests, by_sig)
 
+    def _serve_bucketed(self, requests, by_sig) -> List[np.ndarray]:
+        """Per-group path: tokenize each (modality, raw-shape) group,
+        then encode by (length bucket, batch bucket). Executable set is
+        bounded by the bucket ladder, independent of request mix — the
+        fused path's fallback under the packed-program ceiling."""
+        tokens: List[Optional[np.ndarray]] = [None] * len(requests)
         cap = max(self.cfg.batch_buckets)
         for sig, idxs in by_sig.items():
             for k in range(0, len(idxs), cap):
@@ -261,25 +307,39 @@ class Dispatcher:
 import threading
 import time
 from concurrent.futures import Future
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
+
+
+class QueueFullError(RuntimeError):
+    """Raised (via the request Future) when the daemon queue is at
+    ``max_queue`` — the load-shedding signal for upstream retry/backoff."""
 
 
 class ServingDaemon:
     """Background worker: collect requests until ``max_batch`` or
     ``max_wait_s`` elapses, flush the group through ``Dispatcher.serve``,
     resolve per-request futures. Records raw-input -> output latency per
-    request (the BASELINE.md p50 target's measurement point)."""
+    request (the BASELINE.md p50 target's measurement point).
+
+    Backpressure: with ``max_queue > 0`` the queue is bounded and
+    ``submit`` rejects immediately when full (the Future resolves to
+    ``QueueFullError``) instead of letting latency grow without bound —
+    callers see load-shedding, not a silent multi-second p99."""
 
     def __init__(
         self,
         dispatcher: Dispatcher,
         max_batch: int = 32,
         max_wait_s: float = 0.005,
+        max_queue: int = 0,
     ):
         self.dispatcher = dispatcher
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
-        self._queue: "Queue[Tuple[Request, Future, float]]" = Queue()
+        self._queue: "Queue[Tuple[Request, Future, float]]" = Queue(
+            maxsize=max_queue
+        )
+        self.rejected: int = 0
         self._latencies_s: List[float] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -287,9 +347,19 @@ class ServingDaemon:
         self._thread.start()
 
     def submit(self, request: Request) -> Future:
-        """Enqueue one request -> Future resolving to its features."""
+        """Enqueue one request -> Future resolving to its features, or
+        to ``QueueFullError`` if the bounded queue is full."""
         fut: Future = Future()
-        self._queue.put((request, fut, time.perf_counter()))
+        try:
+            self._queue.put_nowait((request, fut, time.perf_counter()))
+        except Full:
+            with self._lock:
+                self.rejected += 1
+            fut.set_exception(
+                QueueFullError(
+                    f"serving queue full ({self._queue.maxsize}); shed load"
+                )
+            )
         return fut
 
     def _collect(self) -> List[Tuple[Request, Future, float]]:

@@ -376,3 +376,120 @@ def test_dispatcher_serves_twelve_modalities():
         assert np.isfinite(np.asarray(o)).all()
     # bucketing must merge the 8 native lengths into far fewer programs
     assert disp.num_programs <= 4, disp.stats
+
+
+def _fused_setup(max_packed_programs=16):
+    """Two-modality dispatcher in fused mode for packed-path tests."""
+    import dataclasses as dc
+
+    cfg = serving.ServingConfig(
+        encoder=enc.EncoderConfig(dim=32, depth=2, num_heads=2),
+        precision=enc.FP32,
+        fused=True,
+        max_packed_programs=max_packed_programs,
+    )
+    img = pipeline.Data2Seq("image", dim=32)
+    img = pipeline.Data2Seq(
+        "image", dim=32,
+        config=dc.replace(img.config, img_size=32, dim=32),
+    )
+    ts = pipeline.Data2Seq("time-series", dim=32)
+    toks = {
+        "image": (img, img.init(jax.random.PRNGKey(0))),
+        "time-series": (ts, ts.init(jax.random.PRNGKey(1))),
+    }
+    enc_params = enc.init(cfg.encoder, jax.random.PRNGKey(2))
+    return serving.Dispatcher(toks, enc_params, cfg), cfg
+
+
+def test_packed_composition_canonical_under_arrival_order():
+    """The packed program's composition is the MULTISET of (modality,
+    raw-shape, bucket) groups: the same mix arriving in any order must
+    reuse ONE executable (packed_retraces stays 1)."""
+    disp, _ = _fused_setup()
+    rng = np.random.default_rng(0)
+    imgs = [jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+            for _ in range(2)]
+    tss = [jnp.asarray(rng.standard_normal((1, 48, 1)), jnp.float32)
+           for _ in range(2)]
+
+    mix = [serving.Request("image", imgs[0]),
+           serving.Request("time-series", tss[0]),
+           serving.Request("image", imgs[1]),
+           serving.Request("time-series", tss[1])]
+    want = disp.serve(mix)
+    assert disp.packed_retraces == 1
+    # reversed + interleaved-differently arrival: same composition
+    got = disp.serve(mix[::-1])
+    assert disp.packed_retraces == 1, "arrival order forced a retrace"
+    for w, g in zip(want, got[::-1]):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+    # a genuinely new composition (image-only flush) does retrace
+    disp.serve(mix[:1])
+    assert disp.packed_retraces == 2
+
+
+def test_packed_program_ceiling_falls_back_to_bucketed():
+    """Once max_packed_programs distinct compositions exist, an unseen
+    composition serves through the bucketed path (no new compile) and
+    still returns correct features."""
+    disp, cfg = _fused_setup(max_packed_programs=1)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    ts = jnp.asarray(rng.standard_normal((1, 48, 1)), jnp.float32)
+
+    disp.serve([serving.Request("image", img)])  # occupies the 1 slot
+    assert disp.packed_retraces == 1 and disp.packed_fallbacks == 0
+
+    got = disp.serve([serving.Request("time-series", ts)])  # new comp
+    assert disp.packed_retraces == 1, "ceiling was not enforced"
+    assert disp.packed_fallbacks == 1
+    assert disp.num_programs >= 1  # bucketed path actually served it
+
+    # the bucketed fallback must agree with an unconstrained dispatcher
+    free, _ = _fused_setup()
+    want = free.serve([serving.Request("time-series", ts)])
+    np.testing.assert_allclose(got[0], want[0], atol=1e-5)
+
+    # seen composition still runs packed (no fallback increment)
+    disp.serve([serving.Request("image", img)])
+    assert disp.packed_fallbacks == 1
+
+
+def test_daemon_backpressure_rejects_when_full():
+    """Bounded queue: submits beyond max_queue resolve immediately with
+    QueueFullError instead of growing latency unboundedly; accepted
+    requests still complete."""
+    import threading
+
+    disp, _ = _setup()
+    daemon = serving.ServingDaemon(
+        disp, max_batch=2, max_wait_s=0.01, max_queue=2
+    )
+    # stall the worker so the queue actually fills: the first request
+    # blocks inside serve() on this gate
+    gate = threading.Event()
+    orig_serve = disp.serve
+
+    def gated_serve(reqs):
+        gate.wait(timeout=30)
+        return orig_serve(reqs)
+
+    disp.serve = gated_serve
+    rng = np.random.default_rng(2)
+    datas = [jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+             for _ in range(6)]
+    futs = [daemon.submit(serving.Request("image", d)) for d in datas]
+    # worker took ~1-2 into its flush group; queue holds 2; the rest reject
+    rejected = [f for f in futs if f.done() and f.exception() is not None]
+    assert len(rejected) >= 2, "queue never filled"
+    assert all(isinstance(f.exception(), serving.QueueFullError)
+               for f in rejected)
+    assert daemon.rejected == len(rejected)
+
+    gate.set()
+    accepted = [f for f in futs if f not in rejected]
+    for f in accepted:
+        out = f.result(timeout=60)
+        assert np.isfinite(np.asarray(out)).all()
+    daemon.stop()
