@@ -21,10 +21,13 @@ TPU-native design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def square_dists(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -36,9 +39,11 @@ def square_dists(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples",))
-def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
-    """FPS indices [B, n_samples] (int32). Starts at index 0, like the CUDA
-    kernel (``sampling_gpu.cu`` seeds with point 0)."""
+def _fps_xla(points: jax.Array, n_samples: int) -> jax.Array:
+    """XLA while-loop FPS: each of the G iterations round-trips the
+    [B, N] running min-distance through HBM and pays the loop-step
+    dispatch — the fallback when the Pallas kernel's VMEM budget
+    doesn't fit (and the CPU-default path)."""
     b, n, _ = points.shape
 
     def body(i, state):
@@ -57,6 +62,81 @@ def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
     )
     _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, init)
     return idxs  # slot 0 already holds index 0
+
+
+def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref):
+    """Whole-problem-in-VMEM FPS (vs ``sampling_gpu.cu``: one CUDA block
+    per cloud with a shared-memory argmax tree). All coordinate planes
+    and the running min-distance stay VMEM-resident across the G
+    sequential rounds, so each round is pure VPU work over [B, N] with
+    no HBM traffic or loop-step dispatch; the chosen point's coords are
+    extracted with a one-hot reduction (no dynamic gather) and indices
+    accumulate in registers via an iota-match select."""
+    tb, n = xs_ref.shape
+    g = out_ref.shape[1]
+    xs, ys, zs = xs_ref[:], ys_ref[:], zs_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tb, g), 1)
+
+    def body(i, state):
+        min_d, idxs, last = state
+        sel = (col == last).astype(jnp.float32)  # [TB, N] one-hot rows
+        lx = jnp.sum(xs * sel, axis=1, keepdims=True)
+        ly = jnp.sum(ys * sel, axis=1, keepdims=True)
+        lz = jnp.sum(zs * sel, axis=1, keepdims=True)
+        d = jnp.square(xs - lx) + jnp.square(ys - ly) + jnp.square(zs - lz)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(min_d, axis=1).astype(jnp.int32)[:, None]  # [TB,1]
+        idxs = jnp.where(gcol == i, nxt, idxs)
+        return min_d, idxs, nxt
+
+    init = (
+        jnp.full((tb, n), jnp.inf, jnp.float32),
+        jnp.zeros((tb, g), jnp.int32),
+        jnp.zeros((tb, 1), jnp.int32),
+    )
+    _, idxs, _ = jax.lax.fori_loop(1, g, body, init)
+    out_ref[:] = idxs
+
+
+# ~6 live [B, N] f32 planes (x/y/z, min_d, d, one-hot) + slack must fit
+# VMEM; beyond this the XLA path wins by streaming.
+_FPS_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "interpret"))
+def _fps_pallas(
+    points: jax.Array, n_samples: int, interpret: bool = False
+) -> jax.Array:
+    b, n, _ = points.shape
+    coords = jnp.moveaxis(points.astype(jnp.float32), -1, 0)  # [3, B, N]
+    return pl.pallas_call(
+        _fps_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_samples), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coords[0], coords[1], coords[2])
+
+
+def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
+    """FPS indices [B, n_samples] (int32). Starts at index 0, like the CUDA
+    kernel (``sampling_gpu.cu`` seeds with point 0).
+
+    On TPU this runs the VMEM-resident Pallas kernel (``_fps_kernel``)
+    whenever the cloud fits the VMEM budget; elsewhere (CPU tests, huge
+    clouds) the XLA while-loop twin. Override with ``MTT_FPS=pallas|xla``.
+    """
+    b, n, _ = points.shape
+    impl = os.environ.get("MTT_FPS", "auto")
+    fits = 6 * b * n * 4 <= _FPS_VMEM_BUDGET
+    if impl == "pallas" or (
+        impl == "auto" and fits and jax.default_backend() == "tpu"
+    ):
+        return _fps_pallas(
+            points, n_samples, interpret=jax.default_backend() != "tpu"
+        )
+    return _fps_xla(points, n_samples)
 
 
 def masked_fps(points: jax.Array, mask: jax.Array, n_samples: int) -> jax.Array:

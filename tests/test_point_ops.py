@@ -34,6 +34,22 @@ def test_fps_matches_oracle():
         np.testing.assert_array_equal(got[b], want)
 
 
+def test_fps_pallas_matches_xla_and_oracle():
+    """The VMEM-resident Pallas FPS (interpret mode on CPU) must pick the
+    exact same indices as the XLA while-loop twin and the python oracle —
+    one-hot coord extraction and iota-select index writes change the
+    mechanics, not the math."""
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    got = np.asarray(
+        point_ops._fps_pallas(jnp.asarray(pts), 16, interpret=True)
+    )
+    xla = np.asarray(point_ops._fps_xla(jnp.asarray(pts), 16))
+    np.testing.assert_array_equal(got, xla)
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], _fps_oracle(pts[b], 16))
+
+
 def test_fps_covers_space():
     """FPS picks spread-out points: max point-to-sample distance must be
     far below that of a degenerate (first-k) subsample."""
