@@ -5,10 +5,12 @@ Kinetics-400 with segment-based temporal sampling, RandomResizedCrop
 train augs, 5 temporal x 3 spatial multi-view test protocol from
 ``Video/run.sh``).
 
-This environment has no decord/ffmpeg; the pipeline operates on decoded
-frame arrays (``[T, H, W, 3]`` uint8, e.g. from npy clip files or frame
-folders) — the sampling/cropping/normalization logic IS the reference's;
-only the codec layer is swapped for array input.
+Container ingestion: ``.avi`` files (MJPEG or uncompressed DIB) decode
+natively via ``data/video_decode.py`` — only the segment-sampled frames
+are decoded, mirroring decord's ``get_batch(indices)``. Formats needing
+H.264/VP9 entropy decode enter as ``.npy`` frame arrays (one upstream
+ffmpeg transcode); the sampling/cropping/normalization logic here IS the
+reference's either way.
 """
 
 from __future__ import annotations
@@ -122,7 +124,16 @@ def train_clip(
 ) -> np.ndarray:
     """-> [num_frames, crop, crop, 3] float, augmented + normalized."""
     idx = sample_frame_indices(frames.shape[0], cfg.num_frames, rng)
-    clip = random_resized_crop(frames[idx], cfg.crop_size, rng)
+    return augment_sampled_clip(frames[idx], cfg, rng)
+
+
+def augment_sampled_clip(
+    clip: np.ndarray, cfg: VideoDatasetConfig, rng: np.random.Generator
+) -> np.ndarray:
+    """Spatial augs on an already-temporally-sampled [num_frames, H, W, 3]
+    clip (the container path decodes only sampled frames, so temporal
+    sampling happens before decode)."""
+    clip = random_resized_crop(clip, cfg.crop_size, rng)
     if rng.random() < 0.5:  # horizontal flip
         clip = clip[:, :, ::-1]
     if cfg.rand_augment:
@@ -176,8 +187,17 @@ def iter_batches(
     clip_buf, label_buf = [], []
     for i in order:
         item = manifest[int(i)]
-        frames = np.load(str(item["clip"]))
-        clip_buf.append(train_clip(frames, cfg, rng))
+        path = str(item["clip"])
+        if path.lower().endswith(".avi"):
+            from metatransformer_tpu.data import video_decode
+
+            total = video_decode.count_frames(path)
+            idx = sample_frame_indices(total, cfg.num_frames, rng)
+            clip = video_decode.read_avi(path, idx)  # decode only sampled
+            clip_buf.append(augment_sampled_clip(clip, cfg, rng))
+        else:
+            frames = np.load(path)
+            clip_buf.append(train_clip(frames, cfg, rng))
         label_buf.append(int(item["label"]))
         if len(clip_buf) == batch_size:
             yield {
