@@ -163,6 +163,13 @@ def _config(modality: str):
         from metatransformer_tpu.tokenizers import time_series as ts_tok
 
         return ts_tok.TimeSeriesConfig(c_in=6, dim=768)
+    if modality == "point":
+        from metatransformer_tpu.tokenizers import point as point_tok
+
+        # bf16-multiply conv stack to match the BF16 encoder it feeds;
+        # the fp32-emulated default measured 3.5x slower on chip and the
+        # stack is ~3x the encoder's FLOPs (tokenizers/point.py).
+        return point_tok.PointTokenizerConfig(precision="default")
     return None
 
 

@@ -1,9 +1,12 @@
 """Point ops vs pure-python/torch oracles — the reference's kernel-test
 pattern (CUDA-vs-reference, SURVEY.md §4) applied to the TPU ops."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from metatransformer_tpu.core import encoder
 from metatransformer_tpu.models import point_classifier
@@ -135,3 +138,24 @@ def test_point_classifier_end_to_end():
 
     g = jax.grad(loss)(params["tokenizer"])
     assert any(float(jnp.abs(v).max()) > 0 for v in g.values())
+
+
+@pytest.mark.fast
+def test_point_tokenizer_precision_knob():
+    """cfg.precision='default' (bf16-multiply serving setting) must stay
+    numerically close to the fp32 'highest' parity setting — the serving
+    encoder consumes these tokens in bf16 anyway, so sub-1e-2 relative
+    error is invisible downstream."""
+    cfg_hi = point_tok.PointTokenizerConfig(
+        sample_ratio=0.25, group_size=8, embed_dim=64
+    )
+    cfg_lo = dataclasses.replace(cfg_hi, precision="default")
+    params = point_tok.init(cfg_hi, jax.random.PRNGKey(0))
+    pts = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 256, 3), np.float32) * 0.5
+    )
+    _, tok_hi = point_tok.apply(params, pts, cfg_hi)
+    _, tok_lo = point_tok.apply(params, pts, cfg_lo)
+    denom = float(jnp.abs(tok_hi).max())
+    rel = float(jnp.abs(tok_hi - tok_lo).max()) / max(denom, 1e-9)
+    assert rel < 1e-2, rel
