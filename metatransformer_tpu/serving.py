@@ -56,8 +56,29 @@ class ServingConfig:
 @dataclasses.dataclass
 class Request:
     modality: str
-    data: Any  # raw modality input for pipeline.Data2Seq
+    # raw modality input for pipeline.Data2Seq (leading batch axis of 1),
+    # OR encoded payload bytes (JPEG/PNG/AVI/WAV/UTF-8/npy/npz) — bytes
+    # are decoded at the serving edge by data/codecs.decode_payload.
+    data: Any
     request_id: int = 0
+
+
+def maybe_decode(request: Request, **decode_opts) -> Request:
+    """Decode an encoded-bytes request into its array form (no-op for
+    array requests). Runs on the CALLER's thread in ``ServingDaemon.
+    submit`` — codec work parallelizes across client threads instead of
+    serializing on the flush loop, and a malformed payload fails the one
+    request that sent it."""
+    if isinstance(request.data, (bytes, bytearray)):
+        from metatransformer_tpu.data import codecs
+
+        return dataclasses.replace(
+            request,
+            data=codecs.decode_payload(
+                request.modality, bytes(request.data), **decode_opts
+            ),
+        )
+    return request
 
 
 def batch_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -223,7 +244,9 @@ class Dispatcher:
 
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """-> per-request pooled features (cfg.pool='mean') or full
-        [T_i, D] sequences, in input order."""
+        [T_i, D] sequences, in input order. Encoded-bytes requests are
+        decoded here (the sync-path twin of ``ServingDaemon.submit``)."""
+        requests = [maybe_decode(r) for r in requests]
         by_sig: Dict[Tuple, List[int]] = {}
         for i, r in enumerate(requests):
             if r.modality not in self.tokenizers:
@@ -332,10 +355,12 @@ class ServingDaemon:
         max_batch: int = 32,
         max_wait_s: float = 0.005,
         max_queue: int = 0,
+        decode_opts: Optional[Dict[str, Any]] = None,
     ):
         self.dispatcher = dispatcher
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
+        self.decode_opts = decode_opts or {}
         self._queue: "Queue[Tuple[Request, Future, float]]" = Queue(
             maxsize=max_queue
         )
@@ -348,8 +373,16 @@ class ServingDaemon:
 
     def submit(self, request: Request) -> Future:
         """Enqueue one request -> Future resolving to its features, or
-        to ``QueueFullError`` if the bounded queue is full."""
+        to ``QueueFullError`` if the bounded queue is full. Encoded-bytes
+        payloads decode here, on the caller's thread; a malformed payload
+        resolves this request's Future without touching the flush loop."""
         fut: Future = Future()
+        if isinstance(request.data, (bytes, bytearray)):
+            try:
+                request = maybe_decode(request, **self.decode_opts)
+            except Exception as exc:
+                fut.set_exception(exc)
+                return fut
         try:
             self._queue.put_nowait((request, fut, time.perf_counter()))
         except Full:
