@@ -14,9 +14,12 @@ Usage:
       --ckpt encoder.npz --head head.npz --top-k 5
 
 ``--input`` takes a ``.npy`` (or ``.npz`` with arrays matching the
-tokenizer's kwargs, e.g. graph batch dicts); ``--synthetic`` generates a
-correctly-shaped random input instead. Without ``--ckpt`` the encoder is
-randomly initialized (path demo only, not meaningful predictions).
+tokenizer's kwargs, e.g. graph batch dicts), or an encoded media file —
+``.jpg/.png`` (image/x-ray/infrared), ``.avi`` (video), ``.wav``
+(audio) — decoded by the serving-edge codecs (``data/codecs.py``);
+``--synthetic`` generates a correctly-shaped random input instead.
+Without ``--ckpt`` the encoder is randomly initialized (path demo only,
+not meaningful predictions).
 """
 
 from __future__ import annotations
@@ -68,7 +71,19 @@ def synthetic_input(modality: str, rng: np.random.Generator):
     raise ValueError(f"no synthetic generator for modality {modality!r}")
 
 
-def load_input(path: str):
+_MEDIA_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".avi", ".wav")
+
+
+def load_input(path: str, modality: Optional[str] = None):
+    """.npy/.npz tensors, or (with ``modality``) encoded media files —
+    JPEG/PNG/AVI/WAV route through the serving-edge codecs
+    (``data/codecs.decode_payload``), same bytes-in path as
+    ``ServingDaemon.submit``."""
+    if modality is not None and path.lower().endswith(_MEDIA_EXTS):
+        from metatransformer_tpu.data import codecs
+
+        with open(path, "rb") as f:
+            return codecs.decode_payload(modality, f.read())
     if path.endswith(".npz"):
         with np.load(path) as data:
             return {k: data[k] for k in data.files}
@@ -145,7 +160,7 @@ def main(argv=None) -> int:
                 texts = [ln for ln in f.read().splitlines() if ln.strip()]
         raw = tokenize_text(texts, args.bpe_merges)
     elif args.input:
-        raw = load_input(args.input)
+        raw = load_input(args.input, modality=args.modality)
     else:
         raw = synthetic_input(args.modality, np.random.default_rng(args.seed))
 

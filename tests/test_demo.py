@@ -31,3 +31,18 @@ def test_demo_with_head_and_npy_input(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "top-k:" in out and out.count("class ") == 3
+
+
+@pytest.mark.fast
+def test_demo_with_jpeg_input(tmp_path, capsys):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (240, 320, 3), np.uint8)).save(
+        tmp_path / "photo.jpg", quality=90
+    )
+    rc = demo.main(["--modality", "image", "--input", str(tmp_path / "photo.jpg")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "modality=image" in out and "pooled[0:8]" in out
