@@ -33,13 +33,17 @@ from metatransformer_tpu.ops import fbank as fbank_ops
 # magic-byte signatures, checked in order
 _JPEG = b"\xff\xd8\xff"
 _PNG = b"\x89PNG\r\n\x1a\n"
+_BMP = b"BM"
 _RIFF = b"RIFF"
 _NPY = b"\x93NUMPY"
 _ZIP = b"PK\x03\x04"  # npz
 
+_IMAGE_KINDS = ("jpeg", "png", "bmp", "webp")
+
 
 def sniff(payload: bytes) -> str:
-    """-> 'jpeg' | 'png' | 'avi' | 'wav' | 'npy' | 'npz' | 'utf8'."""
+    """-> 'jpeg' | 'png' | 'bmp' | 'webp' | 'avi' | 'wav' | 'npy' |
+    'npz' | 'utf8'."""
     if payload.startswith(_JPEG):
         return "jpeg"
     if payload.startswith(_PNG):
@@ -50,10 +54,14 @@ def sniff(payload: bytes) -> str:
             return "avi"
         if form == b"WAVE":
             return "wav"
+        if form == b"WEBP":
+            return "webp"
     if payload.startswith(_NPY):
         return "npy"
     if payload.startswith(_ZIP):
         return "npz"
+    if payload.startswith(_BMP):
+        return "bmp"
     return "utf8"
 
 
@@ -164,7 +172,7 @@ def decode_payload(
     kind = sniff(payload)
     if kind in ("npy", "npz"):
         return _decode_npy(payload)
-    if kind in ("jpeg", "png"):
+    if kind in _IMAGE_KINDS:
         if modality not in ("image", "x-ray", "infrared", "video"):
             raise ValueError(f"{kind} payload for modality {modality!r}")
         channels = 1 if modality == "infrared" else 3

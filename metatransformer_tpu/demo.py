@@ -15,8 +15,8 @@ Usage:
 
 ``--input`` takes a ``.npy`` (or ``.npz`` with arrays matching the
 tokenizer's kwargs, e.g. graph batch dicts), or an encoded media file —
-``.jpg/.png`` (image/x-ray/infrared), ``.avi`` (video), ``.wav``
-(audio) — decoded by the serving-edge codecs (``data/codecs.py``);
+``.jpg/.png/.bmp/.webp`` (image/x-ray/infrared), ``.avi`` (video),
+``.wav`` (audio) — decoded by the serving-edge codecs (``data/codecs.py``);
 ``--synthetic`` generates a correctly-shaped random input instead.
 Without ``--ckpt`` the encoder is randomly initialized (path demo only,
 not meaningful predictions).

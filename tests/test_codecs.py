@@ -70,6 +70,27 @@ def test_sniff():
     bio = io.BytesIO()
     Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(bio, "PNG")
     assert codecs.sniff(bio.getvalue()) == "png"
+    for fmt in ("BMP", "WEBP"):  # demo._MEDIA_EXTS accepts both
+        bio = io.BytesIO()
+        try:
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(bio, fmt)
+        except (KeyError, OSError):  # PIL built without this codec
+            continue
+        assert codecs.sniff(bio.getvalue()) == fmt.lower()
+
+
+@pytest.mark.fast
+def test_bmp_webp_payloads_decode_as_images():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (80, 100, 3), np.uint8)
+    for fmt in ("BMP", "WEBP"):
+        bio = io.BytesIO()
+        try:
+            Image.fromarray(arr).save(bio, fmt)
+        except (KeyError, OSError):
+            continue
+        img = codecs.decode_payload("image", bio.getvalue(), img_size=32)
+        assert img.shape == (1, 32, 32, 3) and img.dtype == np.uint8
 
 
 @pytest.mark.fast
