@@ -33,21 +33,27 @@ from metatransformer_tpu.ops import fbank as fbank_ops
 # magic-byte signatures, checked in order
 _JPEG = b"\xff\xd8\xff"
 _PNG = b"\x89PNG\r\n\x1a\n"
+_GIF = (b"GIF87a", b"GIF89a")
+_TIFF = (b"II*\x00", b"MM\x00*")
 _BMP = b"BM"
 _RIFF = b"RIFF"
 _NPY = b"\x93NUMPY"
 _ZIP = b"PK\x03\x04"  # npz
 
-_IMAGE_KINDS = ("jpeg", "png", "bmp", "webp")
+_IMAGE_KINDS = ("jpeg", "png", "bmp", "webp", "gif", "tiff")
 
 
 def sniff(payload: bytes) -> str:
-    """-> 'jpeg' | 'png' | 'bmp' | 'webp' | 'avi' | 'wav' | 'npy' |
-    'npz' | 'utf8'."""
+    """-> 'jpeg' | 'png' | 'bmp' | 'webp' | 'gif' | 'tiff' | 'avi' |
+    'wav' | 'npy' | 'npz' | 'utf8'."""
     if payload.startswith(_JPEG):
         return "jpeg"
     if payload.startswith(_PNG):
         return "png"
+    if payload.startswith(_GIF):
+        return "gif"
+    if payload.startswith(_TIFF):
+        return "tiff"
     if payload.startswith(_RIFF) and len(payload) >= 12:
         form = payload[8:12]
         if form == b"AVI ":
@@ -114,6 +120,29 @@ def _decode_video_bytes(
     return crops[1][None].astype(np.uint8)  # center crop
 
 
+def _decode_gif_clip(payload: bytes, num_frames: int, size: int) -> np.ndarray:
+    """Animated GIF -> center-view clip, same sampling/crop protocol as
+    the AVI path. -> uint8 [1, num_frames, size, size, 3]."""
+    from PIL import Image
+
+    from metatransformer_tpu.data import video_dataset
+
+    with Image.open(io.BytesIO(payload)) as im:
+        total = getattr(im, "n_frames", 1)
+        idx = video_dataset.sample_frame_indices(
+            total, num_frames, test_clip=0, test_num_clips=1
+        )
+        frames, cache = [], {}
+        for i in idx:
+            i = int(i)
+            if i not in cache:
+                im.seek(i)
+                cache[i] = np.asarray(im.convert("RGB"), np.uint8)
+            frames.append(cache[i])
+    crops = video_dataset.three_crop(np.stack(frames), size)
+    return crops[1][None].astype(np.uint8)  # center crop
+
+
 def _decode_wav_bytes(
     payload: bytes, target_frames: int, mel_bins: int
 ) -> np.ndarray:
@@ -175,11 +204,14 @@ def decode_payload(
     if kind in _IMAGE_KINDS:
         if modality not in ("image", "x-ray", "infrared", "video"):
             raise ValueError(f"{kind} payload for modality {modality!r}")
-        channels = 1 if modality == "infrared" else 3
-        img = _decode_image_bytes(payload, img_size, channels)
-        if modality == "video":  # single still -> repeated-frame clip
+        if modality == "video":
+            if kind == "gif":  # animated GIF -> sampled-frame clip
+                return _decode_gif_clip(payload, num_frames, img_size)
+            # single still -> repeated-frame clip
+            img = _decode_image_bytes(payload, img_size, 3)
             return np.repeat(img[:, None], num_frames, axis=1)
-        return img
+        channels = 1 if modality == "infrared" else 3
+        return _decode_image_bytes(payload, img_size, channels)
     if kind == "avi":
         if modality != "video":
             raise ValueError(f"avi payload for modality {modality!r}")

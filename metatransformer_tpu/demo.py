@@ -15,8 +15,9 @@ Usage:
 
 ``--input`` takes a ``.npy`` (or ``.npz`` with arrays matching the
 tokenizer's kwargs, e.g. graph batch dicts), or an encoded media file —
-``.jpg/.png/.bmp/.webp`` (image/x-ray/infrared), ``.avi`` (video),
-``.wav`` (audio) — decoded by the serving-edge codecs (``data/codecs.py``);
+``.jpg/.png/.bmp/.webp/.gif/.tiff`` (image/x-ray/infrared), ``.avi`` or
+animated ``.gif`` (video), ``.wav`` (audio) — decoded by the
+serving-edge codecs (``data/codecs.py``);
 ``--synthetic`` generates a correctly-shaped random input instead.
 Without ``--ckpt`` the encoder is randomly initialized (path demo only,
 not meaningful predictions).
@@ -71,7 +72,10 @@ def synthetic_input(modality: str, rng: np.random.Generator):
     raise ValueError(f"no synthetic generator for modality {modality!r}")
 
 
-_MEDIA_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".avi", ".wav")
+_MEDIA_EXTS = (
+    ".jpg", ".jpeg", ".png", ".bmp", ".webp", ".gif", ".tif", ".tiff",
+    ".avi", ".wav",
+)
 
 
 def load_input(path: str, modality: Optional[str] = None):

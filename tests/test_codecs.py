@@ -70,20 +70,22 @@ def test_sniff():
     bio = io.BytesIO()
     Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(bio, "PNG")
     assert codecs.sniff(bio.getvalue()) == "png"
-    for fmt in ("BMP", "WEBP"):  # demo._MEDIA_EXTS accepts both
+    # demo._MEDIA_EXTS accepts all of these
+    for fmt, kind in (("BMP", "bmp"), ("WEBP", "webp"), ("GIF", "gif"),
+                      ("TIFF", "tiff")):
         bio = io.BytesIO()
         try:
             Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(bio, fmt)
         except (KeyError, OSError):  # PIL built without this codec
             continue
-        assert codecs.sniff(bio.getvalue()) == fmt.lower()
+        assert codecs.sniff(bio.getvalue()) == kind
 
 
 @pytest.mark.fast
-def test_bmp_webp_payloads_decode_as_images():
+def test_extra_image_formats_decode_as_images():
     rng = np.random.default_rng(1)
     arr = rng.integers(0, 256, (80, 100, 3), np.uint8)
-    for fmt in ("BMP", "WEBP"):
+    for fmt in ("BMP", "WEBP", "GIF", "TIFF"):
         bio = io.BytesIO()
         try:
             Image.fromarray(arr).save(bio, fmt)
@@ -91,6 +93,27 @@ def test_bmp_webp_payloads_decode_as_images():
             continue
         img = codecs.decode_payload("image", bio.getvalue(), img_size=32)
         assert img.shape == (1, 32, 32, 3) and img.dtype == np.uint8
+
+
+@pytest.mark.fast
+def test_animated_gif_decodes_to_sampled_clip():
+    rng = np.random.default_rng(2)
+    # 12 distinct frames so sampling is observable
+    frames = [
+        Image.fromarray(np.full((48, 64, 3), 20 * i, np.uint8))
+        for i in range(12)
+    ]
+    bio = io.BytesIO()
+    frames[0].save(
+        bio, "GIF", save_all=True, append_images=frames[1:], duration=40
+    )
+    clip = codecs.decode_payload(
+        "video", bio.getvalue(), num_frames=4, img_size=32
+    )
+    assert clip.shape == (1, 4, 32, 32, 3) and clip.dtype == np.uint8
+    # sampled frames span the animation, not a repeated still
+    means = clip[0].reshape(4, -1).mean(1)
+    assert means[-1] > means[0] + 50
 
 
 @pytest.mark.fast
