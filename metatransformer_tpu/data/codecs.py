@@ -1,7 +1,8 @@
 """Serving-edge payload codecs: encoded bytes -> model-ready arrays.
 
-A production frontend receives encoded payloads — JPEG/PNG images, AVI
-video, PCM WAV audio, UTF-8 text, npy tensors — not float arrays. The
+A production frontend receives encoded payloads — JPEG/PNG images,
+AVI/MP4/MKV video, PCM WAV audio, UTF-8 text, npy tensors — not float
+arrays. The
 reference leaves this to client-side torchvision/decord/torchaudio
 preprocessing; here it is a first-class serving layer: ``decode_payload``
 sniffs the container by magic bytes and produces exactly the wire format
@@ -39,13 +40,15 @@ _BMP = b"BM"
 _RIFF = b"RIFF"
 _NPY = b"\x93NUMPY"
 _ZIP = b"PK\x03\x04"  # npz
+_EBML = b"\x1a\x45\xdf\xa3"  # Matroska/WebM
 
 _IMAGE_KINDS = ("jpeg", "png", "bmp", "webp", "gif", "tiff")
+_VIDEO_KINDS = {"avi": ".avi", "mp4": ".mp4", "mkv": ".mkv"}
 
 
 def sniff(payload: bytes) -> str:
     """-> 'jpeg' | 'png' | 'bmp' | 'webp' | 'gif' | 'tiff' | 'avi' |
-    'wav' | 'npy' | 'npz' | 'utf8'."""
+    'mp4' | 'mkv' | 'wav' | 'npy' | 'npz' | 'utf8'."""
     if payload.startswith(_JPEG):
         return "jpeg"
     if payload.startswith(_PNG):
@@ -62,6 +65,10 @@ def sniff(payload: bytes) -> str:
             return "wav"
         if form == b"WEBP":
             return "webp"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"  # ISO BMFF: mp4/m4v/mov
+    if payload.startswith(_EBML):
+        return "mkv"  # Matroska/WebM
     if payload.startswith(_NPY):
         return "npy"
     if payload.startswith(_ZIP):
@@ -94,26 +101,27 @@ def _decode_image_bytes(payload: bytes, size: int, channels: int) -> np.ndarray:
 
 
 def _decode_video_bytes(
-    payload: bytes, num_frames: int, size: int
+    payload: bytes, num_frames: int, size: int, suffix: str = ".avi"
 ) -> np.ndarray:
-    """AVI -> center-view clip: evenly sampled frames, short-side resize,
-    center crop (view 0 of the reference's multi-view test protocol).
+    """Video container (AVI/MP4/MKV/WebM) -> center-view clip: evenly
+    sampled frames, short-side resize, center crop (view 0 of the
+    reference's multi-view test protocol).
     -> uint8 [1, num_frames, size, size, 3]."""
     import os
     import tempfile
 
     from metatransformer_tpu.data import video_dataset
 
-    # read_avi wants a path; spill to tmpfs (payloads are MBs, not GBs)
-    with tempfile.NamedTemporaryFile(suffix=".avi", delete=False) as f:
+    # the demuxers want a path; spill to tmpfs (payloads are MBs, not GBs)
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
         f.write(payload)
         path = f.name
     try:
-        total = video_decode.count_frames(path)
+        total = video_decode.count_video_frames(path)
         idx = video_dataset.sample_frame_indices(
             total, num_frames, test_clip=0, test_num_clips=1
         )
-        frames = video_decode.read_avi(path, idx)
+        frames = video_decode.read_video(path, idx)
     finally:
         os.unlink(path)
     crops = video_dataset.three_crop(frames, size)
@@ -212,10 +220,12 @@ def decode_payload(
             return np.repeat(img[:, None], num_frames, axis=1)
         channels = 1 if modality == "infrared" else 3
         return _decode_image_bytes(payload, img_size, channels)
-    if kind == "avi":
+    if kind in _VIDEO_KINDS:
         if modality != "video":
-            raise ValueError(f"avi payload for modality {modality!r}")
-        return _decode_video_bytes(payload, num_frames, img_size)
+            raise ValueError(f"{kind} payload for modality {modality!r}")
+        return _decode_video_bytes(
+            payload, num_frames, img_size, suffix=_VIDEO_KINDS[kind]
+        )
     if kind == "wav":
         if modality != "audio":
             raise ValueError(f"wav payload for modality {modality!r}")

@@ -5,11 +5,13 @@ Kinetics-400 with segment-based temporal sampling, RandomResizedCrop
 train augs, 5 temporal x 3 spatial multi-view test protocol from
 ``Video/run.sh``).
 
-Container ingestion: ``.avi`` files (MJPEG or uncompressed DIB) decode
-natively via ``data/video_decode.py`` — only the segment-sampled frames
-are decoded, mirroring decord's ``get_batch(indices)``. Formats needing
-H.264/VP9 entropy decode enter as ``.npy`` frame arrays (one upstream
-ffmpeg transcode); the sampling/cropping/normalization logic here IS the
+Container ingestion via ``data/video_decode.py``: ``.avi`` (MJPEG or
+uncompressed DIB) decodes through the dependency-free native RIFF walk;
+``.mp4/.mkv/.mov/.webm`` and compressed-fourcc AVIs (H.264/HEVC/VP9/
+MPEG-4) through OpenCV's FFmpeg backend when cv2 is importable. Only the
+segment-sampled frames are decoded, mirroring decord's
+``get_batch(indices)``; ``.npy`` frame arrays remain the no-dependency
+fallback. The sampling/cropping/normalization logic here IS the
 reference's either way.
 """
 
@@ -188,12 +190,14 @@ def iter_batches(
     for i in order:
         item = manifest[int(i)]
         path = str(item["clip"])
-        if path.lower().endswith(".avi"):
-            from metatransformer_tpu.data import video_decode
+        from metatransformer_tpu.data import video_decode
 
-            total = video_decode.count_frames(path)
+        if path.lower().endswith(
+            (".avi",) + video_decode.CV2_CONTAINER_EXTS
+        ):
+            total = video_decode.count_video_frames(path)
             idx = sample_frame_indices(total, cfg.num_frames, rng)
-            clip = video_decode.read_avi(path, idx)  # decode only sampled
+            clip = video_decode.read_video(path, idx)  # decode only sampled
             clip_buf.append(augment_sampled_clip(clip, cfg, rng))
         else:
             frames = np.load(path)

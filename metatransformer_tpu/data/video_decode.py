@@ -20,9 +20,14 @@ container walk + codec on HOST (integer C code), every float op
 ``write_dib_avi`` produce spec-conformant files for fixtures and for
 exporting `.npy` clips into a playable format.
 
-Anything needing H.264/VP9 entropy decode still requires transcoding to
-MJPEG/frames offline (one ffmpeg invocation upstream); that boundary is
-documented in PARITY.md rather than hidden.
+Entropy codecs beyond JPEG (H.264/HEVC/VP9/MPEG-4 in .mp4/.mkv/.mov/
+.webm containers, or compressed-fourcc AVIs) decode through OpenCV's
+FFmpeg backend when ``cv2`` is importable (``read_video_cv2``). The
+top-level ``read_video`` / ``count_video_frames`` dispatch: native RIFF
+walk for MJPEG/DIB AVIs (no dependency), cv2 for everything else —
+together they cover decord's container surface
+(``Video/dataset/datasets.py:1-60``). Without cv2 the boundary is the
+documented transcode-to-MJPEG path in PARITY.md.
 """
 
 from __future__ import annotations
@@ -223,6 +228,136 @@ def count_frames(path: str) -> int:
         if fourcc == b"LIST" and bytes(buf[p : p + 4]) == b"movi":
             n += len(_collect_frames(buf, p + 4, p + sz))
     return n
+
+
+# ---------------------------------------------------------------------------
+# cv2/FFmpeg path: mp4/mkv/mov/webm containers, non-JPEG entropy codecs
+# ---------------------------------------------------------------------------
+
+#: extensions whose containers need the FFmpeg demuxer (vs the native
+#: RIFF walk above). Checked case-insensitively by ``read_video``.
+CV2_CONTAINER_EXTS = (".mp4", ".m4v", ".mkv", ".mov", ".webm", ".mpg", ".mpeg")
+
+
+def _cv2():
+    try:
+        import cv2  # opencv ships in this image with the FFMPEG backend
+
+        return cv2
+    except ImportError:
+        return None
+
+
+def has_cv2() -> bool:
+    """True when the OpenCV/FFmpeg decode path is available."""
+    return _cv2() is not None
+
+
+def read_video_cv2(
+    path: str, frame_indices: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Decode any FFmpeg-supported container/codec (H.264, HEVC, VP9,
+    MPEG-4, compressed-fourcc AVI, ...) to ``[T, H, W, 3]`` uint8 RGB.
+
+    Sampled-index semantics match ``read_avi`` / decord ``get_batch``:
+    unsorted + duplicate indices fine, each frame decoded once. Frames
+    are walked sequentially with ``grab()`` (cheap: demux + reference
+    update only) and ``retrieve()``d only at wanted indices —
+    ``CAP_PROP_POS_FRAMES`` seeking is unreliable on inter-coded
+    streams, sequential grab is exact on every codec.
+    """
+    cv2 = _cv2()
+    if cv2 is None:
+        raise RuntimeError(
+            f"{path}: decoding this container needs OpenCV (cv2) with the "
+            "FFmpeg backend, which is not importable in this environment; "
+            "transcode to MJPEG AVI (`ffmpeg -c:v mjpeg`) or frame arrays"
+        )
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"{path}: cv2.VideoCapture could not open file")
+    try:
+        if frame_indices is None:
+            frames: List[np.ndarray] = []
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                frames.append(np.ascontiguousarray(bgr[..., ::-1]))
+            if not frames:
+                raise ValueError(f"{path}: no decodable video frames")
+            return np.stack(frames)
+
+        wanted = [max(int(i), 0) for i in np.asarray(frame_indices).ravel()]
+        need = set(wanted)
+        decoded = {}
+        for pos in range(max(need) + 1):
+            if pos in need:
+                ok, bgr = cap.read()
+                if not ok:
+                    break  # stream shorter than the header claimed
+                decoded[pos] = np.ascontiguousarray(bgr[..., ::-1])
+            elif not cap.grab():  # cheap skip: demux only, no pixel decode
+                break
+        if not decoded:
+            raise ValueError(f"{path}: no decodable video frames")
+        last = decoded[max(decoded)]
+        # clamp past-the-end requests to the last decodable frame (header
+        # frame counts overshoot on some muxers)
+        return np.stack([decoded.get(i, last) for i in wanted])
+    finally:
+        cap.release()
+
+
+def count_frames_cv2(path: str) -> int:
+    """Stream frame count via container metadata; falls back to a grab
+    walk when the demuxer reports none (raw/elementary streams)."""
+    cv2 = _cv2()
+    if cv2 is None:
+        raise RuntimeError(f"{path}: frame counting needs cv2 (not importable)")
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"{path}: cv2.VideoCapture could not open file")
+    try:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n > 0:
+            return n
+        n = 0
+        while cap.grab():
+            n += 1
+        return n
+    finally:
+        cap.release()
+
+
+def _is_avi(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(12)
+    return head[:4] == b"RIFF" and head[8:12] == b"AVI "
+
+
+def read_video(
+    path: str, frame_indices: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Container-agnostic decode to ``[T, H, W, 3]`` uint8 RGB — the
+    decord ``VideoReader(...).get_batch(indices)`` surface. MJPEG/DIB
+    AVIs take the dependency-free native walk; everything else (and
+    compressed-fourcc AVIs) goes through cv2/FFmpeg."""
+    if _is_avi(path):
+        try:
+            return read_avi(path, frame_indices)
+        except NotImplementedError:
+            if not has_cv2():
+                raise
+            return read_video_cv2(path, frame_indices)
+    return read_video_cv2(path, frame_indices)
+
+
+def count_video_frames(path: str) -> int:
+    """Container-agnostic total-frame count (no full decode)."""
+    if _is_avi(path):
+        return count_frames(path)
+    return count_frames_cv2(path)
 
 
 # ---------------------------------------------------------------------------

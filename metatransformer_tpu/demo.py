@@ -74,7 +74,7 @@ def synthetic_input(modality: str, rng: np.random.Generator):
 
 _MEDIA_EXTS = (
     ".jpg", ".jpeg", ".png", ".bmp", ".webp", ".gif", ".tif", ".tiff",
-    ".avi", ".wav",
+    ".avi", ".mp4", ".m4v", ".mov", ".mkv", ".webm", ".wav",
 )
 
 

@@ -214,3 +214,31 @@ def test_daemon_accepts_bytes_end_to_end():
         assert ok.result(timeout=300).shape == (32,)
     finally:
         daemon.stop()
+
+
+@pytest.mark.fast
+def test_mp4_payload_cv2():
+    """MP4 bytes sniff by ISO-BMFF ftyp and decode through the cv2
+    container path into the same clip protocol as AVI."""
+    import os
+    import tempfile
+
+    cv2 = pytest.importorskip("cv2")
+    frames = np.stack(
+        [np.full((48, 64, 3), 40 * i, np.uint8) for i in range(6)]
+    )
+    with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+        path = f.name
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (64, 48))
+    assert wr.isOpened()
+    for fr in frames:
+        wr.write(fr[..., ::-1])
+    wr.release()
+    data = open(path, "rb").read()
+    os.unlink(path)
+
+    assert codecs.sniff(data) == "mp4"
+    clip = codecs.decode_payload("video", data, img_size=32, num_frames=4)
+    assert clip.shape == (1, 4, 32, 32, 3) and clip.dtype == np.uint8
+    with pytest.raises(ValueError, match="mp4 payload"):
+        codecs.decode_payload("image", data)

@@ -107,3 +107,86 @@ def test_non_avi_rejected(tmp_path):
     path.write_bytes(b"\x89PNG\r\n\x1a\nnot an avi file at all")
     with pytest.raises(ValueError, match="not a RIFF"):
         video_decode.read_avi(str(path))
+
+
+# ---------------------------------------------------------------------------
+# cv2/FFmpeg path: mp4 and other entropy-coded containers
+# ---------------------------------------------------------------------------
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_mp4(frames: np.ndarray, path: str, fps: float = 12.0) -> None:
+    h, w = frames.shape[1:3]
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert wr.isOpened(), "cv2 FFmpeg backend cannot write mp4 here"
+    for fr in frames:
+        wr.write(fr[..., ::-1])  # RGB -> BGR
+    wr.release()
+
+
+@pytest.mark.fast
+def test_mp4_roundtrip_cv2(tmp_path):
+    frames = _smooth_frames(t=10)
+    path = str(tmp_path / "clip.mp4")
+    _write_mp4(frames, path)
+    assert video_decode.count_video_frames(path) == 10
+    out = video_decode.read_video(path)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(np.float32) - frames.astype(np.float32)).mean()
+    assert err < 8.0, f"mp4 round-trip mean abs err {err}"
+
+
+@pytest.mark.fast
+def test_mp4_sampled_indices(tmp_path):
+    frames = _smooth_frames(t=12)
+    path = str(tmp_path / "clip.mp4")
+    _write_mp4(frames, path)
+    idx = np.array([0, 3, 3, 11, 7])  # unordered + duplicate + last
+    out = video_decode.read_video(path, idx)
+    assert out.shape == (5,) + frames.shape[1:]
+    # lossy codec: compare against a full sequential decode instead
+    full = video_decode.read_video(path)
+    np.testing.assert_array_equal(out, full[idx])
+
+
+@pytest.mark.fast
+def test_mp4_manifest_pipeline(tmp_path):
+    """.mp4 clips flow through the same manifest/iter_batches path as
+    .avi and .npy (decord parity: Video/dataset/datasets.py:1-60)."""
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(2):
+        clip_path = tmp_path / f"clip{i}.mp4"
+        _write_mp4(_smooth_frames(t=10 + i), str(clip_path))
+        items.append({"clip": str(clip_path), "label": i})
+    manifest = tmp_path / "manifest.jsonl"
+    manifest.write_text("\n".join(json.dumps(it) for it in items))
+
+    cfg = video_dataset.VideoDatasetConfig(num_frames=8, crop_size=32)
+    loaded = video_dataset.read_manifest(str(manifest))
+    batches = list(video_dataset.iter_batches(loaded, cfg, 2, rng))
+    assert len(batches) == 1
+    assert batches[0]["video"].shape == (2, 8, 32, 32, 3)
+    assert np.isfinite(batches[0]["video"]).all()
+
+
+@pytest.mark.fast
+def test_compressed_avi_falls_back_to_cv2(tmp_path):
+    """A non-MJPEG/DIB AVI (e.g. MPEG-4 fourcc) can't take the native
+    RIFF walk; read_video must route it through cv2 instead of raising
+    the native path's NotImplementedError."""
+    frames = _smooth_frames(t=6)
+    path = str(tmp_path / "xvid.avi")
+    h, w = frames.shape[1:3]
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (w, h))
+    assert wr.isOpened()
+    for fr in frames:
+        wr.write(fr[..., ::-1])
+    wr.release()
+    with pytest.raises(NotImplementedError):
+        video_decode.read_avi(path, np.array([0]))
+    out = video_decode.read_video(path, np.array([0, 5]))
+    assert out.shape == (2, h, w, 3)
+    err = np.abs(out[0].astype(np.float32) - frames[0].astype(np.float32))
+    assert err.mean() < 8.0
