@@ -4,8 +4,9 @@ Measures what this host can FEED, against what the chip can EAT
 (~4,015 seq/s B16 forward, BENCH_r04/05). The reference's answer to the
 same problem is worker processes (torchvision/pcdet `num_workers`, AST
 `Audio/src/dataloader.py`); ours is `ImageFolderLoader`'s thread pool —
-PIL releases the GIL inside its C JPEG decoder, so threads scale with
-cores without pickling batches across processes.
+the C decode layer (OpenCV/libjpeg-turbo when importable, PIL otherwise)
+releases the GIL, so threads scale with cores without pickling batches
+across processes.
 
 Writes BENCH_INPUT.md and prints one JSON line per measurement.
 Usage: python scripts/bench_input.py [--images N] [--device]
@@ -166,8 +167,9 @@ The chip consumes ~**4,015 seq/s** (B16 forward, BENCH_r04) and
 That is the same arithmetic every production TPU pipeline faces; the
 design answer here (matching the reference's worker-pool answer) is:
 
-1. **Decode threads scale with cores** — PIL's JPEG decode releases the
-   GIL in C, so `ImageFolderLoader(workers=N)` scales near-linearly on a
+1. **Decode threads scale with cores** — the decode backend (OpenCV/
+   libjpeg-turbo preferred, PIL fallback) releases the GIL in C, so
+   `ImageFolderLoader(workers=N)` scales near-linearly on a
    real host. Feeding 1,224 img/s needs ~{1224/max(feed1,1e-9):.0f} cores of this
    speed — a normal TPU-VM host (96–224 cores) covers it several times
    over, with the standard alternative (tf.data service / grain remote

@@ -121,3 +121,36 @@ def test_cli_data_flag(jpeg_tree):
         "train.batch_size=2", "model.num_classes=2",
     ])
     assert rc == 0
+
+
+@pytest.mark.fast
+def test_cv2_backend_matches_pil_geometry(tmp_path):
+    """cv2 and PIL backends consume the same rng stream (same crop box,
+    same flip decision) and agree pixel-wise up to resample-kernel
+    differences on smooth content."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    smooth = np.stack(
+        [127 + 90 * np.sin(yy / 24), 127 + 90 * np.cos(xx / 32),
+         np.full_like(yy, 80)], -1
+    ).clip(0, 255).astype(np.uint8)
+    path = str(tmp_path / "img.jpg")
+    Image.fromarray(smooth).save(path, "JPEG", quality=95)
+
+    a = image_folder.decode_image(path, 64, train=False, backend="cv2")
+    b = image_folder.decode_image(path, 64, train=False, backend="pil")
+    assert a.shape == b.shape == (64, 64, 3)
+    err = np.abs(a.astype(np.float32) - b.astype(np.float32)).mean()
+    assert err < 3.0, f"cv2/PIL eval-protocol divergence {err}"
+
+    for seed in range(4):  # train path: identical geometry decisions
+        a = image_folder.decode_image(
+            path, 32, train=True, rng=np.random.default_rng(seed),
+            backend="cv2")
+        b = image_folder.decode_image(
+            path, 32, train=True, rng=np.random.default_rng(seed),
+            backend="pil")
+        err = np.abs(a.astype(np.float32) - b.astype(np.float32)).mean()
+        assert err < 6.0, f"seed {seed}: train-geometry divergence {err}"
