@@ -80,7 +80,30 @@ def sniff(payload: bytes) -> str:
 
 def _decode_image_bytes(payload: bytes, size: int, channels: int) -> np.ndarray:
     """Eval-protocol decode: short side to size*256/224, center crop.
-    -> uint8 [1, size, size, channels]."""
+    -> uint8 [1, size, size, channels]. Prefers cv2 (same fast path as
+    data/image_folder.decode_image — this runs on the caller's thread in
+    ServingDaemon.submit, so decode speed is the image-payload ingestion
+    ceiling); PIL covers formats cv2 can't parse (e.g. some TIFF/GIF)."""
+    from metatransformer_tpu.data import image_folder
+
+    cv2 = image_folder._cv2()
+    if cv2 is not None:
+        flag = cv2.IMREAD_GRAYSCALE if channels == 1 else cv2.IMREAD_COLOR
+        im = cv2.imdecode(np.frombuffer(payload, np.uint8), flag)
+        if im is not None:
+            h, w = im.shape[:2]
+            short = int(round(size * 256 / 224))
+            if w <= h:
+                nw, nh = short, max(int(round(h * short / w)), short)
+            else:
+                nh, nw = short, max(int(round(w * short / h)), short)
+            im = cv2.resize(im, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            x0, y0 = (nw - size) // 2, (nh - size) // 2
+            arr = im[y0 : y0 + size, x0 : x0 + size]
+            if channels == 1:
+                return np.ascontiguousarray(arr)[None, ..., None]
+            return np.ascontiguousarray(arr[..., ::-1])[None]  # BGR -> RGB
+
     from PIL import Image
 
     with Image.open(io.BytesIO(payload)) as im:

@@ -242,3 +242,27 @@ def test_mp4_payload_cv2():
     assert clip.shape == (1, 4, 32, 32, 3) and clip.dtype == np.uint8
     with pytest.raises(ValueError, match="mp4 payload"):
         codecs.decode_payload("image", data)
+
+
+@pytest.mark.fast
+def test_image_payload_cv2_matches_pil(monkeypatch):
+    """The serving-edge decode produces the same geometry and near-equal
+    pixels whether cv2 or the PIL fallback handles the payload."""
+    pytest.importorskip("cv2")
+    from metatransformer_tpu.data import image_folder
+
+    payload = _jpeg_bytes()
+    a = codecs.decode_payload("image", payload, img_size=64)
+    monkeypatch.setattr(image_folder, "_CV2", None)
+    monkeypatch.setattr(image_folder, "_CV2_TRIED", True)
+    b = codecs.decode_payload("image", payload, img_size=64)
+    assert a.shape == b.shape == (1, 64, 64, 3)
+    err = np.abs(a.astype(np.float32) - b.astype(np.float32)).mean()
+    assert err < 4.0, f"cv2/PIL serving-edge divergence {err}"
+
+    ir_a = codecs.decode_payload("infrared", payload, img_size=32)
+    monkeypatch.undo()
+    ir_b = codecs.decode_payload("infrared", payload, img_size=32)
+    assert ir_a.shape == ir_b.shape == (1, 32, 32, 1)
+    err = np.abs(ir_a.astype(np.float32) - ir_b.astype(np.float32)).mean()
+    assert err < 4.0, f"grayscale divergence {err}"
